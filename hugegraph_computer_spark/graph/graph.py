@@ -1,0 +1,227 @@
+"""The engine's graph representation: plain DataFrames, partitioned by vertex id.
+
+Mirrors the reference's runtime data model (SURVEY.md §1) without porting it:
+
+* the reference decomposes a property graph into an id-sorted vertex table
+  and a packed out-adjacency table per hash partition
+  (computer-core/.../compute/FileGraphPartition.java:96-122, 302-339);
+  we keep ``edges(src long, dst long [, weight double])`` and a derived,
+  cached ``adjacency`` DataFrame ``(vid, nbrs array<long>, deg long)``.
+* the reference symmetrizes the graph at load by default — for every loaded
+  edge u→v it also creates v→u with property inv=true
+  (computer-core/.../input/WorkerInputManager.java:104-122), so all
+  algorithms see undirected neighborhoods. ``Graph.from_edges`` replicates
+  this with a union of the reversed edge table.
+* duplicate edges are deduplicated per ``input.edge_freq`` (SINGLE keeps one
+  edge per (src,dst); default MULTIPLE keeps all —
+  computer-core/.../config/EdgeFrequency.java:26-44). ``dedup=True`` maps to
+  SINGLE, which is what TriangleCount pins
+  (TriangleCountParams.java:41-42).
+* edges whose endpoints have no vertex record are dropped by the reference's
+  input merge ("Skip stale edges", FileGraphPartition.java:314-317); we take
+  the vertex set to be the endpoints of the edge table unless an explicit
+  vertex DataFrame is supplied, in which case stale edges are inner-joined
+  away exactly like the reference.
+* super-node handling: the reference chunks a hub's adjacency into <=200-edge
+  sub-entries so no single record must fit in memory
+  (ComputerOptions.java:168-175). ``adjacency(chunk=...)`` does the same —
+  a hub's neighbor array is split across several rows, which also breaks
+  shuffle skew: a scatter that explodes chunked rows partial-aggregates per
+  chunk before the final combine (classic salting).
+
+Scale notes (100 TB / 10^12 files): edges and adjacency are hash-partitioned
+by vertex id (``repartition(n, src)``), so the per-superstep scatter join
+state ⋈ adjacency is co-partitioned and does not reshuffle the (large,
+static) adjacency side; only the small per-superstep state/message tables
+move. Dense id encoding is a one-off sort-based job (order-preserving), so
+"min id" component labels stay comparable with the reference's id order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+# Reference default: input.max_edges_in_one_vertex = 200
+# (ComputerOptions.java:168-175). We default higher: a Spark row holding a
+# few thousand longs is cheap, and fewer chunks mean fewer rows to join.
+DEFAULT_ADJ_CHUNK = 4096
+
+
+@dataclass
+class Graph:
+    """An immutable graph handle over an edge DataFrame.
+
+    ``edges`` always has columns (src: long, dst: long) and optionally
+    ``weight: double``. If built with ``symmetrize=True`` the table already
+    contains both directions.
+    """
+
+    edges: DataFrame
+    directed_edge_count: int | None = None
+    num_partitions: int = 32
+    _adj_cache: dict = field(default_factory=dict, repr=False)
+    _vertices: DataFrame | None = None
+    _num_vertices: int | None = None
+
+    # ---------------------------------------------------------------- build
+    @staticmethod
+    def from_edges(
+        edges: DataFrame,
+        symmetrize: bool = True,
+        dedup: bool = True,
+        drop_self_loops: bool = False,
+        vertices: DataFrame | None = None,
+        num_partitions: int | None = None,
+        weight_col: str | None = None,
+    ) -> "Graph":
+        """Build a Graph from a raw (src, dst[, weight]) DataFrame.
+
+        symmetrize: add the inverse edge for every input edge (reference
+        default, WorkerInputManager.java:104-122).
+        dedup: SINGLE edge frequency — one edge per (src, dst)
+        (EdgeFrequency.java:26-44).
+        vertices: optional (vid) DataFrame; when given, edges referencing
+        unknown vertices are dropped (FileGraphPartition.java:314-317) and
+        isolated vertices are preserved.
+        """
+        cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
+        if weight_col:
+            cols.append(F.col(weight_col).cast("double").alias("weight"))
+        e = edges.select(*cols)
+        if drop_self_loops:
+            e = e.where(F.col("src") != F.col("dst"))
+        if symmetrize:
+            rev = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+            if weight_col:
+                rev.append(F.col("weight"))
+            e = e.unionByName(e.select(*rev))
+        if dedup:
+            # SINGLE frequency: for weighted graphs keep the max weight per
+            # pair (deterministic; the reference keeps whichever survives
+            # its sort, we pin a rule).
+            if weight_col:
+                e = e.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+            else:
+                e = e.dropDuplicates(["src", "dst"])
+        if vertices is not None:
+            v = vertices.select(F.col(vertices.columns[0]).cast("long").alias("vid"))
+            v = v.dropDuplicates(["vid"])
+            e = (
+                e.join(v.withColumnRenamed("vid", "src"), "src", "inner")
+                .join(v.withColumnRenamed("vid", "dst"), "dst", "inner")
+                .select(*[c for c in ["src", "dst", "weight"] if c in e.columns])
+            )
+        n = num_partitions or e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        n = int(n)
+        # Hash-partition by src: co-locates the scatter join for every
+        # superstep (HashPartitioner.java:43-52 equivalent; Spark reuses
+        # this partitioning across stages).
+        e = e.repartition(n, "src")
+        g = Graph(edges=e, num_partitions=n)
+        if vertices is not None:
+            g._vertices = v
+        return g
+
+    # ------------------------------------------------------------ accessors
+    def vertices(self) -> DataFrame:
+        """(vid) — endpoints of the edge table plus any isolated vertices
+        supplied at build time."""
+        if self._vertices is not None:
+            return self._vertices
+        v = (
+            self.edges.select(F.col("src").alias("vid"))
+            .unionByName(self.edges.select(F.col("dst").alias("vid")))
+            .dropDuplicates(["vid"])
+        )
+        self._vertices = v
+        return v
+
+    def num_vertices(self) -> int:
+        if self._num_vertices is None:
+            self._num_vertices = self.vertices().count()
+        return self._num_vertices
+
+    def degrees(self, weighted: bool = False) -> DataFrame:
+        """(vid, deg) — out-degree of the (already symmetrized) edge table;
+        0 for isolated vertices. This is the reference's ``numEdges()``
+        under default inverse-edge loading."""
+        agg = (
+            F.sum("weight").alias("deg")
+            if weighted
+            else F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        d = self.edges.groupBy(F.col("src").alias("vid")).agg(agg)
+        zero = F.lit(0.0) if weighted else F.lit(0).cast("long")
+        return (
+            self.vertices()
+            .join(d, "vid", "left")
+            .select("vid", F.coalesce("deg", zero).alias("deg"))
+        )
+
+    def adjacency(self, chunk: int = DEFAULT_ADJ_CHUNK, cache: bool = True) -> DataFrame:
+        """Chunked adjacency ``(vid, nbrs array<long>, deg long)``.
+
+        ``deg`` is the vertex's TOTAL degree (repeated on every chunk row).
+        Hubs with degree > chunk are split across ceil(deg/chunk) rows —
+        the Spark analogue of the reference's <=200-edge sub-entries
+        (ComputerOptions.java:168-175; EdgesInput.java:90-143) and the
+        skew-salting required by the north rule: exploding a chunk never
+        materializes a hub's full neighbor list in one task, and downstream
+        groupBy(dst) partial-aggregates per chunk.
+        """
+        key = chunk
+        if key in self._adj_cache:
+            return self._adj_cache[key]
+        adj = (
+            self.edges.groupBy("src")
+            .agg(F.sort_array(F.collect_list("dst")).alias("all_nbrs"))
+            .select(
+                F.col("src").alias("vid"),
+                F.col("all_nbrs"),
+                F.size("all_nbrs").cast("long").alias("deg"),
+            )
+        )
+        adj = adj.select(
+            "vid",
+            "deg",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.col("deg") - 1) / F.lit(chunk)).cast("int"),
+                    ),
+                    lambda i: F.slice(F.col("all_nbrs"), i * chunk + 1, chunk),
+                )
+            ).alias("chunk_no", "nbrs"),
+        ).select("vid", "nbrs", "deg")
+        adj = adj.repartition(self.num_partitions, "vid")
+        if cache:
+            adj = adj.persist()
+        self._adj_cache[key] = adj
+        return adj
+
+    def unpersist(self) -> None:
+        for adj in self._adj_cache.values():
+            adj.unpersist()
+        self._adj_cache.clear()
+
+
+def dense_ids(df: DataFrame, col: str) -> DataFrame:
+    """Order-preserving dense encoding ``(orig, vid long)``.
+
+    The reference orders ids shortlex over their byte encoding
+    (computer-api/.../util/BytesUtil.java:50-76); for MSB varint longs that
+    equals numeric order (SURVEY.md §1.3). We sort distinct keys and assign
+    0..n-1 so that WCC's "min id" stays comparable after encoding. The sort
+    is distributed (range partitioner); the id assignment is
+    ``zipWithIndex`` — one extra count job, no driver materialization, so
+    it scales to 10^9+ vertices.
+    """
+    spark = df.sparkSession
+    distinct = df.select(F.col(col).alias("orig")).dropDuplicates(["orig"]).sort("orig")
+    schema = StructType(distinct.schema.fields + [StructField("vid", LongType(), False)])
+    rdd = distinct.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return spark.createDataFrame(rdd, schema)

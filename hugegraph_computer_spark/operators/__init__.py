@@ -1,0 +1,32 @@
+"""Graph algorithms + pipeline operators.
+
+Graph algorithms reproduce the reference's per-vertex results
+(SURVEY.md §2.11-2.12); pipeline operators (dedup / similarity / text /
+multimodal) are the training-data extensions required at 100 TB scale.
+"""
+
+from hugegraph_computer_spark.operators.pagerank import pagerank
+from hugegraph_computer_spark.operators.wcc import wcc
+from hugegraph_computer_spark.operators.lpa import lpa
+from hugegraph_computer_spark.operators.triangle import triangle_count
+from hugegraph_computer_spark.operators.degree import degree_centrality
+from hugegraph_computer_spark.operators.clustering import clustering_coefficient
+
+ALGORITHMS = {
+    "page_rank": pagerank,
+    "wcc": wcc,
+    "lpa": lpa,
+    "triangle_count": triangle_count,
+    "degree_centrality": degree_centrality,
+    "clustering_coefficient": clustering_coefficient,
+}
+
+__all__ = [
+    "pagerank",
+    "wcc",
+    "lpa",
+    "triangle_count",
+    "degree_centrality",
+    "clustering_coefficient",
+    "ALGORITHMS",
+]

@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's graph algorithms, these are the document-dedup
+primitives a 100 TB corpus pipeline needs. All hot paths are JVM-side
+column expressions (md5/xxhash64, array ops inside whole-stage codegen);
+the only Python is the vectorized simhash kernel (Arrow-batched numpy).
+
+* exact_dedup       — hash-groupBy on a content fingerprint. One shuffle,
+                      map-side partial agg; the canonical first pass.
+* minhash_bands     — word-shingle MinHash signatures banded for LSH; docs
+                      sharing a band bucket are near-dup candidates.
+                      shingle → k hash family via md5(shingle ∥ i) — engine
+                      -portable (the DuckDB oracle reproduces it exactly).
+* minhash_lsh_pairs — candidate pairs via self-join on (band, band_hash).
+                      Bucket join is the scale path: no all-pairs compare;
+                      skewed buckets (boilerplate docs) split by AQE.
+* ngram_jaccard_pairs — exact n-gram Jaccard over candidate (or all) pairs.
+* simhash           — 64-bit SimHash per doc (vectorized pandas UDF);
+                      near-dups = Hamming distance ≤ k via band rotation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+def _tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct, order-free)."""
+    toks = _tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: ``(fingerprint, keep_id, dup_count)``.
+
+    keep_id = min id per group (deterministic survivor)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc LSH bands: ``(doc_id, band long, band_hash string)``.
+
+    minhash_i(doc) = min over shingles of md5(shingle ∥ '#' ∥ i) — a
+    portable hash family (min over hex strings = min over 128-bit values
+    for fixed-width lowercase hex). band_hash = md5 of the band's joined
+    minhashes.
+    """
+    assert num_hashes % band_size == 0
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    minhashes = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}"))))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.select("doc_id", *minhashes)
+    n_bands = num_hashes // band_size
+    bands = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Near-duplicate candidate pairs ``(doc_a, doc_b)`` (a < b, distinct)
+    that collide in at least one LSH band."""
+    b = minhash_bands(docs, **kw)
+    left = b.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_a"))
+    right = b.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with n-gram Jaccard ≥ threshold: ``(doc_a, doc_b, jaccard)``.
+
+    With ``candidates`` (e.g. from minhash_lsh_pairs) this verifies only
+    the candidate set — the scalable path. Without it, it blocks docs by a
+    cheap length band to avoid the full cross join (still quadratic per
+    block; small-data/debug path only).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    if candidates is None:
+        blocked = sh.withColumn("blk", (F.size("sh") / 16).cast("long"))
+        a = blocked.select(
+            F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        )
+        b = blocked.select(
+            F.col("blk"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        pairs = a.join(b, "blk").where(F.col("doc_a") < F.col("doc_b"))
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        pairs = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
+        "double"
+    )
+    return (
+        pairs.select(
+            "doc_a", "doc_b", (inter / union).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@F.pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash over whitespace tokens (numpy, Arrow batch).
+
+    Token hash = first 8 bytes of md5 (stable across runs/partitions)."""
+    import hashlib
+
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (t or "").lower().split(" "):
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big", signed=False
+            )
+            bits = (h >> np.arange(64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, simhash long)`` per document."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _simhash64(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding: split the 64-bit
+    signature into (max_hamming+1) bands — any pair within the Hamming
+    radius must agree on ≥1 band (pigeonhole), so a bucket join finds all
+    of them; exact Hamming filter afterwards."""
+    s = simhash(docs, id_col, text_col)
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    bs = s.select("doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    a = bs.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = bs.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

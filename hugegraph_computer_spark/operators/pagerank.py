@@ -1,0 +1,178 @@
+"""PageRank with the reference's exact (nonstandard) recurrence.
+
+Reference semantics (PageRank.java:64-101, PageRank4Master.java:63-100;
+SURVEY.md §2.12), reproduced formula-for-formula so per-vertex scores match
+allclose 1e-6:
+
+* superstep 0: value = 1/N for every vertex; aggregate Σvalue; a vertex with
+  numEdges==0 (dangling under the symmetrized load) contributes its rank to
+  the dangling aggregator, everyone else scatters value/numEdges to all
+  neighbors.
+* superstep s>=1, for EVERY vertex (PageRank never votes to halt):
+
+      rank  = (dangling_prev/N + Σ incoming) * (1-alpha) + alpha/N
+      rank /= cumulative_prev          # PageRank.java:87-89 — renormalize
+                                       # by the PREVIOUS superstep's Σrank
+
+  where dangling_prev / cumulative_prev are the previous superstep's global
+  aggregates (delivered in beforeSuperstep, PageRank.java:119-127).
+  Aggregate L1 = Σ|rank - old|, Σrank, dangling Σ; scatter rank/numEdges.
+* stop when superstep > 1 and L1 <= threshold (PageRank4Master.java:96-100;
+  default 1e-5, the north rule also runs 1e-6), or at max supersteps
+  (bsp.max_super_step default 10, ComputerOptions.java:363-369).
+
+Spark realization: state is ``(vid, rank, deg)``; one superstep =
+
+    msgs    = adjacency ⋈ contrib(vid, rank/deg)   -- co-partitioned join
+    summed  = msgs.explode(nbrs).groupBy(dst).sum  -- map-side partial agg
+                                                   -- ≡ DoubleValueSumCombiner
+                                                   -- (PageRankParams.java:40-41)
+    state'  = state ⟕ summed → new rank column
+    aggs    = state'.agg(L1, Σrank, Σdangling)     -- one pass, driver-held
+                                                   -- ≡ the 4 master aggregators
+
+Lineage is broken and state snapshotted per superstep via SuperstepLoop
+(resumable mid-iteration). Skew: hub adjacency is chunked (Graph.adjacency),
+so the explode+groupBy partial-aggregates per chunk — no single reducer sees
+a hub's full fan-in; AQE skew-join handles the residual.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from hugegraph_computer_spark.graph.bsp import SuperstepLoop
+from hugegraph_computer_spark.graph.graph import Graph
+
+ALPHA_DEFAULT = 0.15  # page_rank.alpha, PageRank.java:36-38
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = ALPHA_DEFAULT,
+    l1_threshold: float = 1e-5,
+    max_supersteps: int = 10,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    job_name: str = "page_rank",
+    resume: bool = False,
+) -> DataFrame:
+    """Run PageRank; returns ``(vid long, rank double)``.
+
+    ``max_supersteps`` counts message-exchange rounds exactly like the
+    reference: superstep 0 initializes+scatters, supersteps 1..max-1 update.
+    Set ``l1_threshold<0`` to force a fixed number of supersteps.
+    """
+    spark = graph.edges.sparkSession
+    loop = SuperstepLoop(
+        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every
+    )
+
+    n = graph.num_vertices()
+    if n == 0:
+        raise ValueError("pagerank: graph has no vertices")
+    adj = graph.adjacency()
+
+    start_superstep = 1
+    state = None
+    aggs = None
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            s, state, aggs = resumed
+            if not aggs.get("continue", True):
+                return state.select("vid", "rank")
+            start_superstep = s + 1
+
+    if state is None:
+        # --- superstep 0 (compute0, PageRank.java:64-77) -----------------
+        init = 1.0 / n
+        state = graph.degrees().select(
+            "vid", F.lit(init).alias("rank"), F.col("deg")
+        )
+        aggs = {
+            "cumulative": 1.0,  # Σ 1/N over N vertices, exactly 1 in fp64? n*(1/n)
+            "dangling": 0.0,
+            "l1": math.inf,
+            "continue": True,
+        }
+        # compute Σ exactly as a distributed sum for bit-faithfulness
+        row = state.agg(
+            F.sum("rank").alias("cum"),
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
+                "dang"
+            ),
+        ).collect()[0]
+        aggs["cumulative"] = float(row["cum"])
+        aggs["dangling"] = float(row["dang"])
+        state = loop.save(0, state, aggs, {"supersteps": 0})
+
+    for s in range(start_superstep, max_supersteps):
+        dangling_rank = aggs["dangling"] / n  # beforeSuperstep, PageRank.java:119-127
+        teleport = alpha / n
+        cumulative = aggs["cumulative"]
+
+        contrib = state.where(F.col("deg") > 0).select(
+            "vid", (F.col("rank") / F.col("deg")).alias("contrib")
+        )
+        msgs = (
+            adj.join(contrib, "vid")
+            .select(F.explode("nbrs").alias("dst"), "contrib")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("msg_sum"))
+        )
+        new_state = (
+            state.join(msgs, state["vid"] == msgs["dst"], "left")
+            .select(
+                state["vid"],
+                state["rank"].alias("old_rank"),
+                state["deg"],
+                F.coalesce(msgs["msg_sum"], F.lit(0.0)).alias("msg_sum"),
+            )
+            .withColumn(
+                "rank",
+                (
+                    (F.lit(dangling_rank) + F.col("msg_sum"))
+                    * F.lit(1.0 - alpha)
+                    + F.lit(teleport)
+                )
+                / F.lit(cumulative),
+            )
+            .select("vid", "rank", "deg", "old_rank")
+        )
+        # one aggregation pass = the reference's 4 master aggregators
+        t0 = time.time()
+        row = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+            F.sum("rank").alias("cum"),
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
+                "dang"
+            ),
+            F.sum(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("dang_n"),
+        ).collect()[0]
+        aggs = {
+            "cumulative": float(row["cum"]),
+            "dangling": float(row["dang"]),
+            "dangling_vertices": int(row["dang_n"]),
+            "l1": float(row["l1"]),
+            "continue": True,
+        }
+        # master convergence rule (PageRank4Master.java:96-100)
+        if s > 1 and aggs["l1"] <= l1_threshold:
+            aggs["continue"] = False
+        if s == max_supersteps - 1:
+            aggs["continue"] = False
+        state = loop.save(
+            s,
+            new_state.select("vid", "rank", "deg"),
+            aggs,
+            {"supersteps": s, "agg_sec": time.time() - t0},
+        )
+        if not aggs["continue"]:
+            break
+
+    loop.cleanup()
+    return state.select("vid", "rank")

@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure JVM column expressions (whole-stage codegen; no Python in the hot
+path), so they run at scan speed over a 100 TB documents table with filters
+and column pruning pushed down to parquet/Iceberg.
+
+* token_stats      — token / char counts (whitespace tokenization plus a
+                     BPE-ish word+punctuation regex count).
+* quality_score    — heuristic document quality: alpha ratio, stopword
+                     ratio, mean token length, repetition penalty.
+* lang_id          — n-gram/stopword-vote language guess (en/es/de/fr),
+                     deterministic and fully SQL-expressible.
+* fingerprint      — md5 content fingerprint of the normalized text
+                     (the rolling-hash stand-in; exact, order-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "des", "et", "est", "que", "dans", "une", "pour"],
+}
+
+
+def _toks(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, n_words, avg_token_len)"""
+    toks = _toks(text_col)
+    n_tokens = F.size(toks).cast("long")
+    # BPE-ish: word pieces and standalone punctuation both count
+    n_words = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, alpha_ratio, stopword_ratio, quality) — quality in [0,1]."""
+    toks = _toks(text_col)
+    n_tokens = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")).cast(
+        "double"
+    )
+    alpha_ratio = alpha_chars / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
+    all_stop = sorted(set(w for ws in STOPWORDS.values() for w in ws))
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n_tokens
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = F.least(
+        F.lit(1.0),
+        F.round(0.4 * alpha_ratio + 0.3 * F.least(stop_ratio * 3, F.lit(1.0)) + 0.3 * uniq_ratio, 6),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess) — stopword-vote language id; 'und' if no hits.
+
+    Ties break alphabetically (deterministic)."""
+    toks = _toks(text_col)
+    votes = [
+        F.struct(
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t, ws=ws: F.array_contains(F.array(*[F.lit(w) for w in ws]), t),
+                )
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    # max over (hits, lang): ties pick the lexicographically LARGEST lang;
+    # invert by comparing on (hits, neg-rank) — simplest portable rule:
+    # pick max hits, then the alphabetically first lang via array ordering.
+    arr = F.array(*votes)
+    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    best = F.array_min(
+        F.transform(F.filter(arr, lambda s: s["hits"] == max_hits), lambda s: s["lang"])
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(max_hits > 0, best).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — md5 of whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))

@@ -1,0 +1,73 @@
+"""Deterministic graph derivations from the driver's TPC-H-ish test tables.
+
+These give the graph algorithms oracle-checkable inputs from
+``/root/testdata/sf*/``: the identical derivation is expressed in ANSI SQL
+in ``__spark_entry__.oracle_sql`` so DuckDB and this engine operate on the
+same edge set.
+
+* ``customer_supplier_edges`` — bipartite: customer c bought from supplier s
+  (via orders ⋈ lineitem). Suppliers are offset by SUPPLIER_OFFSET so the
+  two key spaces cannot collide. ~|distinct (cust, supp)| edges.
+* ``copurchase_edges`` — part co-purchase: two parts appearing on the same
+  order (p1 < p2). Has triangles, unlike the bipartite graph, so it feeds
+  triangle count / clustering coefficient.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SUPPLIER_OFFSET = 1_000_000
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src=o_custkey, dst=SUPPLIER_OFFSET+l_suppkey), distinct."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def customer_supplier_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same edges with weight = Σ l_quantity per (customer, supplier)."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("weight"))
+    )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src=p1, dst=p2) for distinct part pairs on the same order, p1<p2."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
