@@ -76,12 +76,13 @@ def minhash_bands(
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
     )
-    minhashes = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}"))))
+    def minhash(i: int) -> Column:
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, suffix)))
         ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+
+    minhashes = [minhash(i) for i in range(num_hashes)]
     sig = sh.select("doc_id", *minhashes)
     n_bands = num_hashes // band_size
     bands = [
@@ -164,19 +165,24 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     Token hash = first 8 bytes of md5 (stable across runs/partitions)."""
     import hashlib
 
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (t or "").lower().split(" "):
-            h = int.from_bytes(
-                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big", signed=False
-            )
-            bits = (h >> np.arange(64)) & 1
-            acc += np.where(bits == 1, 1, -1)
+        toks = (t or "").lower().split(" ")
+        # vectorize over the token axis: (n_tokens, 64) bit matrix
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                for tok in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = (hs[:, None] >> shifts[None, :]) & one
+        acc = np.where(bits == 1, 1, -1).sum(axis=0)
         sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= one << np.uint64(b)
         out[i] = np.int64(sig)
     return pd.Series(out)
 

@@ -87,16 +87,13 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Ties break alphabetically (deterministic)."""
     toks = _toks(text_col)
+
+    def hits(ws: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
     votes = [
-        F.struct(
-            F.size(
-                F.filter(
-                    toks,
-                    lambda t, ws=ws: F.array_contains(F.array(*[F.lit(w) for w in ws]), t),
-                )
-            ).alias("hits"),
-            F.lit(lang).alias("lang"),
-        )
+        F.struct(hits(ws).alias("hits"), F.lit(lang).alias("lang"))
         for lang, ws in sorted(STOPWORDS.items())
     ]
     # max over (hits, lang): ties pick the lexicographically LARGEST lang;
