@@ -29,10 +29,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from hugegraph_computer_spark import oracles
 from hugegraph_computer_spark.graph.graph import Graph
 from hugegraph_computer_spark.operators import (
+    closeness_centrality,
     clustering_coefficient,
     degree_centrality,
     lpa,
     pagerank,
+    rings_count,
     triangle_count,
     wcc,
 )
@@ -61,6 +63,7 @@ from hugegraph_computer_spark.sources.tpch_graph import (
     copurchase_edges,
     customer_supplier_edges,
     customer_supplier_weighted,
+    nation_same_region_edges,
 )
 
 PAGERANK_SUPERSTEPS = 6
@@ -127,6 +130,15 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(_cp_graph(spark, sf_dir)).select(
         "vid", F.round("coefficient", 6).alias("coefficient")
     )
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return closeness_centrality(_cs_graph(spark, sf_dir), sources=32)
+
+
+def q_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = Graph.from_edges(nation_same_region_edges(spark, sf_dir))
+    return rings_count(g)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa": q_lpa,
         "triangle_count": q_triangle,
         "clustering_coefficient": q_clustering,
+        "closeness_centrality": q_closeness,
+        "rings_count": q_rings,
         # --- training-data pipeline: dedup ---
         "exact_dedup": q_exact_dedup,
         "minhash_bands": q_minhash_bands,
@@ -256,6 +270,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa": oracles.lpa_sql(supersteps=LPA_SUPERSTEPS),
         "triangle_count": oracles.triangle_sql(),
         "clustering_coefficient": oracles.clustering_sql(),
+        "closeness_centrality": oracles.closeness_sql(),
+        "rings_count": oracles.rings_count_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),

@@ -74,20 +74,20 @@ class SuperstepLoop:
     def _meta_path(self, superstep: int) -> str:
         return os.path.join(self._step_dir(superstep), "_meta.json")
 
-    def save(
-        self, superstep: int, state: DataFrame, aggregates: dict, metrics: dict | None = None
-    ) -> DataFrame:
-        """Snapshot state; return a lineage-free DataFrame for the next step.
-
-        JSON-serializes aggregates (floats incl. inf), records per-partition
-        row counts as lineage evidence, then atomically publishes via the
-        meta file.
-        """
-        record = SuperstepRecord(superstep, dict(aggregates), dict(metrics or {}))
-        do_persist = self.dir is not None and (
+    def _durable(self, superstep: int) -> bool:
+        return self.dir is not None and (
             superstep % self.checkpoint_every == 0 or superstep >= self.max_supersteps
         )
-        if do_persist:
+
+    def materialize(self, superstep: int, state: DataFrame) -> DataFrame:
+        """Materialize this superstep's state exactly once and return a
+        lineage-free handle. This is THE single action per superstep —
+        algorithms attach their global aggregators to the plan with
+        ``DataFrame.observe`` so the aggregate ride-along costs no extra
+        job (the reference ships partial aggregators with the compute
+        pass the same way, WorkerAggrManager.java:89-141)."""
+        self._pending_metrics = {}
+        if self._durable(superstep):
             path = self._step_dir(superstep)
             if os.path.exists(path):
                 shutil.rmtree(path)
@@ -99,8 +99,31 @@ class SuperstepLoop:
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()
             ]
-            record.metrics["partition_rows"] = part_counts
-            record.metrics["rows"] = sum(part_counts)
+            self._pending_metrics = {
+                "partition_rows": part_counts,
+                "rows": sum(part_counts),
+            }
+        else:
+            # lineage break without durable write
+            out = state.localCheckpoint(eager=True)
+            self._persisted.append(out)
+            if len(self._persisted) > 2:
+                old = self._persisted.pop(0)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+        return out
+
+    def commit(
+        self, superstep: int, aggregates: dict, metrics: dict | None = None
+    ) -> None:
+        """Publish the superstep's aggregates + metrics. For durable steps
+        the meta file is written after the parquet commit, so a job killed
+        mid-write resumes from the previous superstep."""
+        record = SuperstepRecord(superstep, dict(aggregates), dict(metrics or {}))
+        record.metrics.update(getattr(self, "_pending_metrics", {}))
+        if self._durable(superstep):
             with open(self._meta_path(superstep), "w") as f:
                 json.dump(
                     {
@@ -112,17 +135,14 @@ class SuperstepLoop:
                     },
                     f,
                 )
-        else:
-            # lineage break without durable write
-            out = state.localCheckpoint(eager=True)
-            self._persisted.append(out)
-            if len(self._persisted) > 2:
-                old = self._persisted.pop(0)
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
         self.history.append(record)
+
+    def save(
+        self, superstep: int, state: DataFrame, aggregates: dict, metrics: dict | None = None
+    ) -> DataFrame:
+        """materialize + commit in one call (aggregates already known)."""
+        out = self.materialize(superstep, state)
+        self.commit(superstep, aggregates, metrics)
         return out
 
     def resume(self) -> tuple[int, DataFrame, dict] | None:

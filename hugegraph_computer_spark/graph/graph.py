@@ -197,7 +197,12 @@ class Graph:
                 )
             ).alias("chunk_no", "nbrs"),
         ).select("vid", "nbrs", "deg")
-        adj = adj.repartition(self.num_partitions, "vid")
+        # Persist hash-partitioned AND sorted by vid: the cached relation
+        # then advertises both, so the per-superstep scatter SMJ needs no
+        # exchange and no re-sort on the (large, static) adjacency side —
+        # the Spark analogue of the reference's id-sorted partition files
+        # merged-joined each superstep (FileGraphPartition.compute:158-214).
+        adj = adj.repartition(self.num_partitions, "vid").sortWithinPartitions("vid")
         if cache:
             adj = adj.persist()
         self._adj_cache[key] = adj

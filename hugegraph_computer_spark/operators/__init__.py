@@ -11,6 +11,8 @@ from hugegraph_computer_spark.operators.lpa import lpa
 from hugegraph_computer_spark.operators.triangle import triangle_count
 from hugegraph_computer_spark.operators.degree import degree_centrality
 from hugegraph_computer_spark.operators.clustering import clustering_coefficient
+from hugegraph_computer_spark.operators.closeness import closeness_centrality
+from hugegraph_computer_spark.operators.rings import rings_detection, rings_count
 
 ALGORITHMS = {
     "page_rank": pagerank,
@@ -19,6 +21,8 @@ ALGORITHMS = {
     "triangle_count": triangle_count,
     "degree_centrality": degree_centrality,
     "clustering_coefficient": clustering_coefficient,
+    "closeness_centrality": closeness_centrality,
+    "rings": rings_count,
 }
 
 __all__ = [
@@ -28,5 +32,8 @@ __all__ = [
     "triangle_count",
     "degree_centrality",
     "clustering_coefficient",
+    "closeness_centrality",
+    "rings_detection",
+    "rings_count",
     "ALGORITHMS",
 ]

@@ -1,0 +1,160 @@
+"""Closeness centrality — multi-source shortest-distance relaxation.
+
+Reference semantics (ClosenessCentrality.java:38-169): every vertex keeps a
+map ``startId -> min distance``; superstep 0 each vertex mails
+(start=self, dist=edge weight, default 1.0) to its (symmetrized) neighbors;
+a vertex that receives a smaller distance for some start stores it and
+forwards dist+weight to its other neighbors; vertices go inactive when no
+message improves anything. At output, centrality = Σ 1/d over the vertex's
+stored map (ClosenessCentralityOutput.constructHugeVertex). The fixpoint is
+the exact all-pairs (or sampled-source) shortest distances on the
+undirected graph: skipping the sender/start on forward
+(ClosenessCentrality.sendMessage:137-147) only prunes messages that the
+min-check would discard anyway, so the DataFrame realization below reaches
+the identical fixpoint without replicating the per-message send loop.
+
+DOCUMENTED DEVIATION: the reference samples forwarding targets with an
+unseeded ``Math.random() <= sample_rate`` (ClosenessCentrality.sample:
+152-155, default 1.0 = no sampling). For a deterministic, oracle-checkable
+scale path we instead sample the SOURCE set (the k smallest vertex ids, or
+a caller-given DataFrame) — with all sources kept the results are exactly
+the reference's default behavior.
+
+Spark realization — delta-iterated long format instead of a per-vertex map
+(a MapType column would concentrate a hub's whole distance map in one row;
+the long format shards it across partitions):
+
+    state(vid, start, dist, fresh)   -- settled minima; fresh = improved
+                                        last superstep (the frontier)
+    msgs  = frontier ⋈ edges → (dst, start, dist+w) [dst != start]
+            → groupBy(dst, start).min  -- ≡ per-(vertex,start) min-combine
+    improved = msgs ⟕ state  where new < settled (or unseen)
+    state = (state \ improved-keys) ∪ improved ; stop when none improved
+
+Each superstep is one materialization (Observation carries the improved
+count); snapshots/resume via SuperstepLoop like every other algorithm.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from hugegraph_computer_spark.graph.bsp import SuperstepLoop
+from hugegraph_computer_spark.graph.graph import Graph
+
+
+def closeness_centrality(
+    graph: Graph,
+    sources: DataFrame | int | None = None,
+    weighted: bool = False,
+    max_supersteps: int = 20,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    job_name: str = "closeness_centrality",
+    resume: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Run closeness centrality; returns ``(vid long, closeness double)``.
+
+    ``sources``: None = all vertices (reference default, O(V^2) state —
+    small graphs only); int k = the k smallest vertex ids (deterministic
+    sampling, the scale path); DataFrame = explicit (vid) source set.
+    """
+    spark = graph.edges.sparkSession
+    loop = SuperstepLoop(spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every)
+
+    edges = graph.edges
+    w = (
+        F.coalesce(F.col("weight"), F.lit(1.0))
+        if weighted and "weight" in edges.columns
+        else F.lit(1.0)
+    )
+    edges = edges.select("src", "dst", w.alias("w"))
+
+    if isinstance(sources, int):
+        src_set = graph.vertices().orderBy("vid").limit(sources)
+    elif sources is not None:
+        src_set = sources.select(F.col(sources.columns[0]).cast("long").alias("vid"))
+    else:
+        src_set = None
+
+    start = 1
+    state = None
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            s, state, aggs = resumed
+            if aggs.get("improved", 1) == 0 or s >= max_supersteps - 1:
+                return _finish(graph, state, round_to)
+            start = s + 1
+
+    if state is None:
+        # superstep 0 (compute0): every (selected) vertex mails
+        # (start=self, w) to its neighbors; first minima settle at dist=w.
+        seed = edges.select(
+            F.col("src").alias("start"), F.col("dst").alias("vid"), F.col("w")
+        )
+        if src_set is not None:
+            seed = seed.join(
+                src_set.select(F.col("vid").alias("start")), "start", "inner"
+            )
+        state = (
+            seed.where(F.col("vid") != F.col("start"))
+            .groupBy("vid", "start")
+            .agg(F.min("w").alias("dist"))
+            .select("vid", "start", "dist", F.lit(True).alias("fresh"))
+        )
+        state = loop.save(0, state, {"improved": -1}, {"supersteps": 0})
+
+    for s in range(start, max_supersteps):
+        t0 = time.time()
+        frontier = state.where("fresh").select("vid", "start", "dist")
+        cand = (
+            frontier.join(edges, frontier["vid"] == edges["src"])
+            .where(F.col("dst") != F.col("start"))
+            .select(
+                F.col("dst").alias("vid"),
+                F.col("start"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+            )
+            .groupBy("vid", "start")
+            .agg(F.min("nd").alias("nd"))
+        )
+        settled = state.select("vid", "start", F.col("dist").alias("old"))
+        improved = (
+            cand.join(settled, ["vid", "start"], "left")
+            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("vid", "start", F.col("nd").alias("dist"), F.lit(True).alias("fresh"))
+        )
+        new_state = (
+            state.select("vid", "start", "dist", F.lit(False).alias("fresh"))
+            .join(improved.select("vid", "start"), ["vid", "start"], "left_anti")
+            .unionByName(improved)
+        )
+        obs = Observation(f"{job_name}_s{s}")
+        observed = new_state.observe(
+            obs, F.sum(F.col("fresh").cast("long")).alias("c")
+        )
+        state = loop.materialize(s, observed)
+        improved_n = int(obs.get["c"] or 0)
+        loop.commit(
+            s, {"improved": improved_n}, {"supersteps": s, "sec": time.time() - t0}
+        )
+        if improved_n == 0:
+            break
+
+    loop.cleanup()
+    return _finish(graph, state, round_to)
+
+
+def _finish(graph: Graph, state: DataFrame, round_to: int) -> DataFrame:
+    cc = state.groupBy("vid").agg(
+        F.round(F.sum(1.0 / F.col("dist")), round_to).alias("closeness")
+    )
+    return (
+        graph.vertices()
+        .join(cc, "vid", "left")
+        .select("vid", F.coalesce("closeness", F.lit(0.0)).alias("closeness"))
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from hugegraph_computer_spark.graph.bsp import SuperstepLoop
 from hugegraph_computer_spark.graph.graph import Graph
@@ -96,14 +96,15 @@ def lpa(
                 (F.col("new_label") != F.col("old_label")).alias("changed"),
             )
         )
-        n_senders = new_state.agg(
-            F.sum(F.col("changed").cast("long")).alias("c")
-        ).collect()[0]["c"]
-        state = loop.save(
-            s,
-            new_state,
-            {"senders": int(n_senders)},
-            {"supersteps": s, "sec": time.time() - t0},
+        # sender-count aggregator rides the materialization job (observe)
+        obs = Observation(f"{job_name}_s{s}")
+        observed = new_state.observe(
+            obs, F.sum(F.col("changed").cast("long")).alias("c")
+        )
+        state = loop.materialize(s, observed)
+        n_senders = int(obs.get["c"] or 0)
+        loop.commit(
+            s, {"senders": n_senders}, {"supersteps": s, "sec": time.time() - t0}
         )
         if n_senders == 0:
             break

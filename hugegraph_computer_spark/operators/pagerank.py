@@ -42,7 +42,7 @@ from __future__ import annotations
 import math
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from hugegraph_computer_spark.graph.bsp import SuperstepLoop
 from hugegraph_computer_spark.graph.graph import Graph
@@ -143,16 +143,22 @@ def pagerank(
             )
             .select("vid", "rank", "deg", "old_rank")
         )
-        # one aggregation pass = the reference's 4 master aggregators
+        # the reference's 4 master aggregators ride along the single
+        # materialization job (observe ≡ worker partial aggregators pushed
+        # with the compute pass) — no second scan of the superstep plan
         t0 = time.time()
-        row = new_state.agg(
+        obs = Observation(f"{job_name}_s{s}")
+        observed = new_state.observe(
+            obs,
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
             F.sum("rank").alias("cum"),
             F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
                 "dang"
             ),
             F.sum(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("dang_n"),
-        ).collect()[0]
+        ).select("vid", "rank", "deg")
+        state = loop.materialize(s, observed)
+        row = obs.get
         aggs = {
             "cumulative": float(row["cum"]),
             "dangling": float(row["dang"]),
@@ -165,12 +171,7 @@ def pagerank(
             aggs["continue"] = False
         if s == max_supersteps - 1:
             aggs["continue"] = False
-        state = loop.save(
-            s,
-            new_state.select("vid", "rank", "deg"),
-            aggs,
-            {"supersteps": s, "agg_sec": time.time() - t0},
-        )
+        loop.commit(s, aggs, {"supersteps": s, "step_sec": time.time() - t0})
         if not aggs["continue"]:
             break
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from hugegraph_computer_spark.graph.bsp import SuperstepLoop
 from hugegraph_computer_spark.graph.graph import Graph
@@ -106,14 +106,15 @@ def wcc(
                 (F.col("new_label") < F.col("old_label")).alias("changed"),
             )
         )
-        changed = new_state.agg(
-            F.sum(F.col("changed").cast("long")).alias("c")
-        ).collect()[0]["c"]
-        state = loop.save(
-            s,
-            new_state,
-            {"changed": int(changed)},
-            {"supersteps": s, "sec": time.time() - t0},
+        # changed-count aggregator rides the materialization job (observe)
+        obs = Observation(f"{job_name}_s{s}")
+        observed = new_state.observe(
+            obs, F.sum(F.col("changed").cast("long")).alias("c")
+        )
+        state = loop.materialize(s, observed)
+        changed = int(obs.get["c"] or 0)
+        loop.commit(
+            s, {"changed": changed}, {"supersteps": s, "sec": time.time() - t0}
         )
         if changed == 0:
             break

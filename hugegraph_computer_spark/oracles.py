@@ -396,3 +396,66 @@ SELECT query_id, neighbor_id, score FROM (
   FROM s
 ) WHERE rn <= {k}
 """
+
+
+# Nations sharing a region — small clique-per-region graph (symmetrized).
+EDGES_NATION = """
+e0 AS MATERIALIZED (
+  SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)
+"""
+
+
+def closeness_sql(n_sources: int = 32, max_depth: int = 19) -> str:
+    """BFS closeness from the n smallest vertex ids on the customer-supplier
+    graph: recursive reachability enumerates (start, vid, depth) rows up to
+    max_depth (engine settles dist <= max_supersteps; both far exceed the
+    graph diameter, so both sides reach the exact fixpoint);
+    closeness(v) = ROUND(sum over starts of 1/min_depth, 6)."""
+    return f"""
+WITH RECURSIVE {EDGES_CS},
+v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),
+srcs AS MATERIALIZED (SELECT vid FROM v ORDER BY vid LIMIT {n_sources}),
+reach(start, vid, d) AS (
+  SELECT vid, vid, 0 FROM srcs
+  UNION
+  SELECT reach.start, e.dst, reach.d + 1
+  FROM reach JOIN e ON reach.vid = e.src WHERE reach.d < {max_depth}
+),
+md AS MATERIALIZED (
+  SELECT start, vid, MIN(d) AS d FROM reach WHERE vid <> start GROUP BY start, vid
+),
+cc AS MATERIALIZED (
+  SELECT vid, ROUND(SUM(1.0 / d), 6) AS closeness FROM md GROUP BY vid
+)
+SELECT v.vid, COALESCE(cc.closeness, 0.0) AS closeness
+FROM v LEFT JOIN cc ON v.vid = cc.vid
+"""
+
+
+def rings_count_sql() -> str:
+    """Reference-exact ring counts on the nation clique graph: recursive
+    path flood (root = seq[1]; forward to neighbors >= root, no revisits;
+    ring recorded at its minimum vertex — RingsDetection.java:32-116)."""
+    return f"""
+WITH RECURSIVE {EDGES_NATION},
+p(cur, seq) AS (
+  SELECT dst AS cur, [src] AS seq FROM e WHERE dst >= src
+  UNION ALL
+  SELECT e.dst, list_append(p.seq, p.cur)
+  FROM p JOIN e ON p.cur = e.src
+  WHERE p.cur <> p.seq[1] AND NOT list_contains(p.seq, p.cur)
+    AND e.dst >= p.seq[1]
+),
+r AS MATERIALIZED (
+  SELECT seq[1] AS vid FROM p WHERE cur = seq[1] AND cur <= list_min(seq)
+),
+counts AS MATERIALIZED (
+  SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_rings FROM r GROUP BY vid
+)
+SELECT v.vid, COALESCE(c.n_rings, 0) AS n_rings
+FROM (SELECT DISTINCT src AS vid FROM e) v LEFT JOIN counts c ON v.vid = c.vid
+"""

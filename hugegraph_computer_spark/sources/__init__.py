@@ -3,6 +3,7 @@ from hugegraph_computer_spark.sources.extract import extract_edges, corpus_graph
 from hugegraph_computer_spark.sources.tpch_graph import (
     customer_supplier_edges,
     copurchase_edges,
+    nation_same_region_edges,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "corpus_graph",
     "customer_supplier_edges",
     "copurchase_edges",
+    "nation_same_region_edges",
 ]

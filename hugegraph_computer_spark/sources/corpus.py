@@ -69,11 +69,9 @@ def synth_corpus(
         for pid, lo, hi in iterator:
             if hi <= lo:
                 continue
-            rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + pid))
             idx = np.arange(lo, hi)
             repo_i = idx // files_per_repo
             file_k = idx % files_per_repo
-            n_imp = rng.poisson(mean_imports, size=len(idx))
             rows_repo, rows_path, rows_commit, rows_lang, rows_content = (
                 [],
                 [],
@@ -81,10 +79,16 @@ def synth_corpus(
                 [],
                 [],
             )
-            for r, k, m in zip(repo_i, file_k, n_imp):
+            for i, r, k in zip(idx, repo_i, file_k):
+                # seed per FILE, not per partition: content is a pure
+                # function of (seed, file index) so any partitioning — any
+                # cluster size — generates byte-identical rows (the sha256
+                # invariant depends on this).
+                rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + int(i)))
                 repo = f"repo_{r:06d}"
                 path = f"src/mod_{k % 3}/file_{k}.py"
                 lang = "java" if (r * files_per_repo + k) % 29 == 7 else "python"
+                m = int(rng.poisson(mean_imports))
                 # Zipf-ish rank-biased targets in [0, n_repos), excluding self
                 if m > 0:
                     u = rng.random(m)

@@ -71,3 +71,22 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["src", "dst"])
     )
+
+
+def nation_same_region_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src=n1, dst=n2) for nation pairs sharing a region, n1 < n2 — a
+    small clique-per-region graph (25 vertices at any sf) suited to the
+    exponential path algorithms (rings detection) and all-pairs closeness."""
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_nationkey").cast("long").alias("src"),
+            F.col("b.n_nationkey").cast("long").alias("dst"),
+        )
+    )

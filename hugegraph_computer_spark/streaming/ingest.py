@@ -32,38 +32,20 @@ def stream_edges(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EDGE_DDL).parquet(path)
 
 
-def _collapse_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
-    """(a, b) same-component label pairs → (label, root) minimal mapping."""
-    # symmetric closure on the tiny pair set, then pointer-jump to min
-    m = (
-        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
-        .groupBy("x")
-        .agg(F.least(F.min("y"), F.col("x")).alias("root"))
-        .select("x", "root")
-    )
-    for _ in range(max_rounds):
-        j = (
-            m.alias("l")
-            .join(m.alias("r"), F.col("l.root") == F.col("r.x"), "left")
-            .select(
-                F.col("l.x").alias("x"),
-                F.least(F.col("l.root"), F.coalesce(F.col("r.root"), F.col("l.root"))).alias(
-                    "root"
-                ),
-            )
-        )
-        j = j.localCheckpoint(eager=True)
-        changed = (
-            j.alias("n")
-            .join(m.alias("o"), F.col("n.x") == F.col("o.x"))
-            .where(F.col("n.root") != F.col("o.root"))
-            .count()
-        )
-        m = j
-        if changed == 0:
-            break
-    return m.select(F.col("x").alias("label"), "root")
+def _collapse_labels(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """(a, b) same-component label pairs → (label, root) minimal mapping.
+
+    This is exactly WCC on the (tiny) label-pair graph, so run the engine's
+    own min-label fixpoint — a one-pass min-neighbor + pointer jump is NOT
+    sufficient (a min label must be able to flow through a larger
+    intermediate label, e.g. 5—6—0 must collapse 5 to 0)."""
+    from hugegraph_computer_spark.graph.graph import Graph
+    from hugegraph_computer_spark.operators.wcc import wcc
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    g = Graph.from_edges(edges, num_partitions=8)
+    comp = wcc(g, max_supersteps=max_rounds, job_name="wcc_label_collapse")
+    return comp.select(F.col("vid").alias("label"), F.col("component").alias("root"))
 
 
 def incremental_wcc_batch(

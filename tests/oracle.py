@@ -127,3 +127,48 @@ def random_edges(
     u = rng.random(n_edges)
     dst = (n_vertices * u**zipf_a).astype("int64") % n_vertices
     return [(int(a), int(b)) for a, b in zip(src, dst)]
+
+
+def ref_closeness(
+    vertices: list[int], adj: dict[int, list[int]], sources: list[int] | None = None
+) -> dict[int, float]:
+    """BFS closeness = round(Σ 1/dist(start, v), 6) over (sampled) starts
+    (ClosenessCentrality fixpoint + ClosenessCentralityOutput Σ1/d)."""
+    starts = sorted(vertices) if sources is None else sorted(sources)
+    acc = {v: 0.0 for v in vertices}
+    for s in starts:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for u in adj.get(x, []):
+                if u not in dist:
+                    dist[u] = dist[x] + 1
+                    q.append(u)
+        for v, d in dist.items():
+            if d > 0:
+                acc[v] += 1.0 / d
+    return {v: round(acc[v], 6) for v in vertices}
+
+
+def ref_rings(vertices: list[int], adj: dict[int, list[int]]) -> dict[int, int]:
+    """Reference-exact ring counts (RingsDetection.java:32-116): flood
+    paths from each vertex to neighbors >= self; forward to neighbors >=
+    root, no revisits; record closed path at its minimum vertex."""
+    counts = {v: 0 for v in vertices}
+    paths = [
+        (u, (v,)) for v in sorted(vertices) for u in adj.get(v, []) if u >= v
+    ]
+    while paths:
+        nxt = []
+        for cur, seq in paths:
+            if cur == seq[0]:
+                if cur <= min(seq):
+                    counts[cur] += 1
+            elif cur not in seq:
+                ns = seq + (cur,)
+                for t in adj.get(cur, []):
+                    if t >= seq[0]:
+                        nxt.append((t, ns))
+        paths = nxt
+    return counts

@@ -1,0 +1,114 @@
+"""Physical-plan assertions + checkpoint/resume/determinism guarantees.
+
+The plan tests are the "is this the plan I'd want at 100 TB" gate
+(SURVEY.md §4): pushdown reaching parquet, no cartesian products, cached
+adjacency advertising its partitioning so the per-superstep scatter join
+does not re-shuffle the big static side.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hugegraph_computer_spark.graph.graph import Graph
+from hugegraph_computer_spark.operators import lpa, pagerank, wcc
+from hugegraph_computer_spark.plans.checks import (
+    assert_no_cartesian,
+    assert_pushed_filters,
+    explain_str,
+)
+from tests.oracle import random_edges
+from tests.test_algorithms import df_to_dict, make_graph
+
+
+@pytest.fixture
+def testdata_dir():
+    d = "/root/testdata/sf0.001"
+    if not os.path.isdir(d):
+        pytest.skip("driver testdata not present")
+    return d
+
+
+def test_filter_pushdown_to_parquet(spark, testdata_dir):
+    li = spark.read.parquet(f"{testdata_dir}/lineitem.parquet")
+    q = li.where(F.col("l_suppkey") == 7).select("l_orderkey", "l_suppkey")
+    assert_pushed_filters(q, "l_suppkey")
+    # column pruning: scan must read only the 2 projected columns
+    plan = explain_str(q)
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_scatter_join_no_cartesian_and_no_adj_exchange(spark):
+    g = make_graph(spark, random_edges(100, 300, seed=1))
+    adj = g.adjacency()
+    adj.count()
+    contrib = g.degrees().select("vid", (1.0 / F.greatest("deg", F.lit(1))).alias("c"))
+    joined = adj.join(contrib, "vid")
+    assert_no_cartesian(joined)
+    # With broadcast allowed the small side is broadcast (shuffle-free);
+    # force SMJ to assert the 100-TB-relevant property: the cached
+    # adjacency (persisted hash-partitioned + sorted by vid) must need
+    # neither an Exchange nor a Sort on its side of the join.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = explain_str(adj.join(contrib, "vid"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_tail = plan.split("SortMergeJoin", 1)[-1]
+    adj_branch = join_tail.split("InMemoryTableScan", 1)[0]
+    assert "Exchange" not in adj_branch and "Sort" not in adj_branch, plan[:1800]
+
+
+def test_corpus_scan_prunes_columns(spark, testdata_dir):
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    assert_pushed_filters(q, "lang")
+
+
+@pytest.mark.parametrize("algo,kw,col", [
+    (pagerank, {"l1_threshold": 1e-6, "max_supersteps": 10}, "rank"),
+    (wcc, {}, "component"),
+    (lpa, {}, "label"),
+])
+def test_resume_identical_after_partial_checkpoint(spark, tmp_path, algo, kw, col):
+    g = make_graph(spark, random_edges(80, 240, seed=4))
+    ck = str(tmp_path / algo.__name__)
+    full = df_to_dict(algo(g, checkpoint_dir=ck, **kw), "vid", col)
+    job = os.listdir(ck)[0]
+    steps = sorted(os.listdir(os.path.join(ck, job)))
+    assert len(steps) >= 2, "expected per-superstep snapshots"
+    # simulate a crash: drop the last snapshot, resume mid-iteration
+    shutil.rmtree(os.path.join(ck, job, steps[-1]))
+    resumed = df_to_dict(algo(g, checkpoint_dir=ck, resume=True, **kw), "vid", col)
+    assert resumed == full
+
+
+def test_snapshot_meta_carries_lineage_and_aggregates(spark, tmp_path):
+    import json
+
+    g = make_graph(spark, random_edges(50, 150, seed=6))
+    ck = str(tmp_path)
+    pagerank(g, l1_threshold=1e-6, max_supersteps=4, checkpoint_dir=ck)
+    job_dir = os.path.join(ck, "page_rank")
+    metas = []
+    for d in sorted(os.listdir(job_dir)):
+        with open(os.path.join(job_dir, d, "_meta.json")) as f:
+            metas.append(json.load(f))
+    assert all("aggregates" in m and "metrics" in m for m in metas)
+    late = [m for m in metas if m["superstep"] > 0]
+    assert all("partition_rows" in m["metrics"] for m in metas)
+    assert all("l1" in m["aggregates"] for m in late)
+
+
+def test_checkpoint_every_n(spark, tmp_path):
+    g = make_graph(spark, random_edges(50, 150, seed=8))
+    ck = str(tmp_path)
+    pagerank(g, l1_threshold=-1.0, max_supersteps=6, checkpoint_dir=ck,
+             checkpoint_every=2)
+    steps = sorted(os.listdir(os.path.join(ck, "page_rank")))
+    assert steps == ["superstep=0", "superstep=2", "superstep=4"]
