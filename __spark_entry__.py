@@ -29,7 +29,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from hugegraph_computer_spark import oracles
 from hugegraph_computer_spark.graph.graph import Graph
 from hugegraph_computer_spark.operators import (
+    betweenness_centrality,
     closeness_centrality,
+    links,
     clustering_coefficient,
     degree_centrality,
     lpa,
@@ -141,6 +143,21 @@ def q_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rings_count(g)
 
 
+def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = Graph.from_edges(nation_same_region_edges(spark, sf_dir))
+    out = links(
+        g,
+        start_cond="vid < 5",
+        spread_cond="dst > src",
+        end_vertex_cond="vid >= 15",
+    )
+    return out.select("vid", F.concat_ws("-", F.col("path")).alias("path_str"))
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return betweenness_centrality(_cs_graph(spark, sf_dir), sources=16)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -240,6 +257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering,
         "closeness_centrality": q_closeness,
         "rings_count": q_rings,
+        "links": q_links,
+        "betweenness_centrality": q_betweenness,
         # --- training-data pipeline: dedup ---
         "exact_dedup": q_exact_dedup,
         "minhash_bands": q_minhash_bands,
@@ -272,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": oracles.clustering_sql(),
         "closeness_centrality": oracles.closeness_sql(),
         "rings_count": oracles.rings_count_sql(),
+        "links": oracles.links_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),

@@ -65,6 +65,7 @@ class Graph:
     _adj_cache: dict = field(default_factory=dict, repr=False)
     _vertices: DataFrame | None = None
     _num_vertices: int | None = None
+    _max_vid: int | None = None
 
     # ---------------------------------------------------------------- build
     @staticmethod
@@ -143,6 +144,16 @@ class Graph:
         if self._num_vertices is None:
             self._num_vertices = self.vertices().count()
         return self._num_vertices
+
+    def max_vid(self) -> int:
+        """Largest vertex id — bounds the dense accumulator of the Arrow
+        gather-scatter kernel (graph.scatter)."""
+        if self._max_vid is None:
+            row = self.edges.agg(
+                F.max(F.greatest(F.col("src"), F.col("dst"))).alias("m")
+            ).collect()[0]
+            self._max_vid = int(row["m"]) if row["m"] is not None else -1
+        return self._max_vid
 
     def degrees(self, weighted: bool = False) -> DataFrame:
         """(vid, deg) — out-degree of the (already symmetrized) edge table;

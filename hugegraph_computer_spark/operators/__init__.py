@@ -13,6 +13,8 @@ from hugegraph_computer_spark.operators.degree import degree_centrality
 from hugegraph_computer_spark.operators.clustering import clustering_coefficient
 from hugegraph_computer_spark.operators.closeness import closeness_centrality
 from hugegraph_computer_spark.operators.rings import rings_detection, rings_count
+from hugegraph_computer_spark.operators.links import links
+from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
 
 ALGORITHMS = {
     "page_rank": pagerank,
@@ -23,6 +25,8 @@ ALGORITHMS = {
     "clustering_coefficient": clustering_coefficient,
     "closeness_centrality": closeness_centrality,
     "rings": rings_count,
+    "links": links,
+    "betweenness_centrality": betweenness_centrality,
 }
 
 __all__ = [
@@ -35,5 +39,7 @@ __all__ = [
     "closeness_centrality",
     "rings_detection",
     "rings_count",
+    "links",
+    "betweenness_centrality",
     "ALGORITHMS",
 ]

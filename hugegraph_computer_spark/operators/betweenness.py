@@ -1,0 +1,115 @@
+"""Betweenness centrality — sampled Brandes as level-synchronous DataFrames.
+
+Reference (BetweennessCentrality.java:41-202) approximates betweenness by
+flooding path messages with an unseeded random spread sample — its own test
+asserts only completion, and the values are nondeterministic run to run.
+DOCUMENTED DEVIATION (like LPA's tie-break): we compute the deterministic
+Brandes accumulation over a deterministic source sample (the k smallest
+vertex ids; all vertices = exact betweenness), which is reproducible and
+oracle-checkable. Unweighted, undirected (symmetrized) semantics.
+
+Realization — two level-synchronous phases in long format, one DataFrame
+job per BFS level (the per-level barrier IS Brandes' ordering guarantee):
+
+  forward:  levels(source, vid, d, sigma) — BFS layer by layer;
+            sigma = Σ sigma of predecessors (path counts)
+  backward: for d = D-1 .. 1:
+            delta(v,d) = Σ_{w ∈ succ(v)} sigma_v/sigma_w · (1 + delta_w)
+            betweenness(v) += delta over sources, ÷2 (undirected double count)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hugegraph_computer_spark.graph.graph import Graph
+
+
+def betweenness_centrality(
+    graph: Graph,
+    sources: DataFrame | int | None = None,
+    max_depth: int = 30,
+    round_to: int = 6,
+    job_name: str = "betweenness_centrality",
+) -> DataFrame:
+    """Returns ``(vid long, betweenness double)`` (deterministic Brandes;
+    exact when sources=None, sampled-approximate for int k)."""
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select("src", "dst")
+
+    if isinstance(sources, int):
+        src_set = graph.vertices().orderBy("vid").limit(sources)
+    elif sources is not None:
+        src_set = sources.select(F.col(sources.columns[0]).cast("long").alias("vid"))
+    else:
+        src_set = graph.vertices()
+
+    # ---------------------------------------------------------- forward BFS
+    frontier = src_set.select(
+        F.col("vid").alias("source"), F.col("vid"),
+        F.lit(0).alias("d"), F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    levels = [frontier]
+    seen = frontier.select("source", "vid").localCheckpoint(eager=True)
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(edges, frontier["vid"] == edges["src"])
+            .select("source", F.col("dst").alias("vid"), "sigma")
+            .join(seen, ["source", "vid"], "left_anti")
+            .groupBy("source", "vid")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("source", "vid", F.lit(depth).alias("d"), "sigma")
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("source", "vid")).localCheckpoint(eager=True)
+        frontier = nxt
+
+    # --------------------------------------------------------- backward sweep
+    # delta starts at 0 on the deepest layer; walk levels upward
+    acc = None  # (vid, contribution) accumulated over sources & levels
+    delta = levels[-1].select(
+        "source", "vid", F.lit(0.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    for d in range(len(levels) - 2, 0, -1):
+        upper = levels[d]      # vertices at depth d (potential predecessors)
+        lower = levels[d + 1].join(
+            delta, ["source", "vid"], "left"
+        ).select(
+            "source", F.col("vid").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.coalesce("delta", F.lit(0.0)).alias("delta_w"),
+        )
+        contrib = (
+            upper.join(edges, upper["vid"] == edges["src"])
+            .select("source", "vid", "sigma", F.col("dst").alias("w"))
+            .join(lower, ["source", "w"])
+            .groupBy("source", "vid")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                ).alias("delta")
+            )
+        ).localCheckpoint(eager=True)
+        delta = contrib
+        part = contrib.groupBy("vid").agg(F.sum("delta").alias("c"))
+        acc = part if acc is None else (
+            acc.unionByName(part).groupBy("vid").agg(F.sum("c").alias("c"))
+        )
+        acc = acc.localCheckpoint(eager=True)
+
+    out = graph.vertices()
+    if acc is None:
+        return out.select("vid", F.lit(0.0).alias("betweenness"))
+    return (
+        out.join(acc, "vid", "left")
+        .select(
+            "vid",
+            F.round(F.coalesce(F.col("c"), F.lit(0.0)) / 2.0, round_to).alias(
+                "betweenness"
+            ),
+        )
+    )

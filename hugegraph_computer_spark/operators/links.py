@@ -1,0 +1,95 @@
+"""Links — filtered path traversal (Links.java:30-130).
+
+Reference semantics: paths start at vertices passing the start condition;
+each superstep a path at vertex v is extended along every edge passing the
+spread condition; a path is *recorded* (at the vertex where it ends) when
+it reaches a vertex passing the end-vertex condition or an edge passing the
+end-edge condition; un-ended paths keep flooding until no messages flow or
+``bsp.max_super_step`` (10). The reference configures the three conditions
+with a JSON DSL over property values (links/filter/LinksSpreadFilter.java);
+our engine-idiomatic equivalent is three Spark SQL boolean expressions:
+
+* ``start_cond``  — over vertex column ``vid``
+* ``spread_cond`` / ``end_edge_cond`` — over edge columns
+  (``src``, ``dst`` and any property columns of the edge DataFrame)
+* ``end_vertex_cond`` — over ``vid``
+
+Paths are vertex-id sequences (the reference also records edge-id chains;
+our edge identity is the (src,dst) pair, recoverable from consecutive
+path vertices). No cycle check — exactly like the reference, the superstep
+cap bounds the flood.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hugegraph_computer_spark.graph.bsp import SuperstepLoop
+from hugegraph_computer_spark.graph.graph import Graph
+
+
+def links(
+    graph: Graph,
+    start_cond: str,
+    spread_cond: str = "true",
+    end_vertex_cond: str = "false",
+    end_edge_cond: str = "false",
+    max_supersteps: int = 10,
+    job_name: str = "links",
+) -> DataFrame:
+    """Run Links; returns ``(vid long, path array<long>)`` — one row per
+    recorded path, anchored at the vertex that recorded it (the end vertex,
+    or the source vertex of an end edge — Links.isEndEdgeAndSaveValue)."""
+    spark = graph.edges.sparkSession
+    loop_paths = SuperstepLoop(spark, f"{job_name}_paths", None, max_supersteps)
+    loop_out = SuperstepLoop(spark, f"{job_name}_out", None, max_supersteps)
+    edges = graph.edges
+
+    start = (
+        graph.vertices()
+        .where(F.expr(start_cond))
+        .select("vid", F.array("vid").alias("path"))
+    )
+    # a start vertex that is itself an end vertex records [self] and stops
+    # (compute0 -> isEndVertexAndSaveValue short-circuit)
+    out = start.where(F.expr(end_vertex_cond)).select("vid", "path")
+    live = start.where(~F.expr(end_vertex_cond))
+
+    results = loop_out.materialize(0, out)
+    paths = loop_paths.materialize(0, live)
+
+    for s in range(1, max_supersteps):
+        stepped = paths.join(edges, paths["vid"] == edges["src"]).select(
+            edges["src"], edges["dst"],
+            *[edges[c] for c in edges.columns if c not in ("src", "dst")],
+            paths["path"],
+        )
+        # end-edge: record path + target at the CURRENT vertex
+        edge_ended = (
+            stepped.where(F.expr(end_edge_cond))
+            .select(
+                F.col("src").alias("vid"),
+                F.concat("path", F.array(F.col("dst"))).alias("path"),
+            )
+        )
+        moved = (
+            stepped.where(~F.expr(end_edge_cond) & F.expr(spread_cond))
+            .select(
+                F.col("dst").alias("vid"),
+                F.concat("path", F.array(F.col("dst"))).alias("path"),
+            )
+        )
+        # end-vertex: record at the arriving vertex; others stay live
+        vertex_ended = moved.where(F.expr(end_vertex_cond))
+        live = moved.where(~F.expr(end_vertex_cond))
+        results = loop_out.materialize(
+            s, results.unionByName(edge_ended).unionByName(vertex_ended)
+        )
+        paths = loop_paths.materialize(s, live)
+        if paths.isEmpty():
+            break
+
+    loop_paths.cleanup()
+    out = results.localCheckpoint(eager=True)
+    loop_out.cleanup()
+    return out

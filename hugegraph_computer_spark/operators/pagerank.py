@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from hugegraph_computer_spark.graph.bsp import SuperstepLoop
 from hugegraph_computer_spark.graph.graph import Graph
+from hugegraph_computer_spark.graph.scatter import fits, scatter_sum
 
 ALPHA_DEFAULT = 0.15  # page_rank.alpha, PageRank.java:36-38
 
@@ -59,12 +60,18 @@ def pagerank(
     checkpoint_every: int = 1,
     job_name: str = "page_rank",
     resume: bool = False,
+    kernel: str = "sql",
 ) -> DataFrame:
     """Run PageRank; returns ``(vid long, rank double)``.
 
     ``max_supersteps`` counts message-exchange rounds exactly like the
     reference: superstep 0 initializes+scatters, supersteps 1..max-1 update.
     Set ``l1_threshold<0`` to force a fixed number of supersteps.
+
+    ``kernel``: "sql" = explode+groupBy scatter (pure JVM, any id space);
+    "arrow" = numpy bincount gather-scatter (graph.scatter; dense ids);
+    "auto" = arrow when the id range fits, else sql. Both compute the same
+    sums re-associated — equal to fp64 round-off.
     """
     spark = graph.edges.sparkSession
     loop = SuperstepLoop(
@@ -75,6 +82,9 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: graph has no vertices")
     adj = graph.adjacency()
+    if kernel not in ("sql", "arrow", "auto"):
+        raise ValueError(f"pagerank: unknown kernel {kernel!r}")
+    use_arrow = kernel == "arrow" or (kernel == "auto" and fits(graph.max_vid()))
 
     start_superstep = 1
     state = None
@@ -118,12 +128,18 @@ def pagerank(
         contrib = state.where(F.col("deg") > 0).select(
             "vid", (F.col("rank") / F.col("deg")).alias("contrib")
         )
-        msgs = (
-            adj.join(contrib, "vid")
-            .select(F.explode("nbrs").alias("dst"), "contrib")
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("msg_sum"))
-        )
+        joined = adj.join(contrib, "vid")
+        if use_arrow:
+            partials = scatter_sum(
+                joined.select("vid", "nbrs", "contrib"), graph.max_vid()
+            )
+            msgs = partials.groupBy("dst").agg(F.sum("msg_sum").alias("msg_sum"))
+        else:
+            msgs = (
+                joined.select(F.explode("nbrs").alias("dst"), "contrib")
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("msg_sum"))
+            )
         new_state = (
             state.join(msgs, state["vid"] == msgs["dst"], "left")
             .select(

@@ -459,3 +459,22 @@ counts AS MATERIALIZED (
 SELECT v.vid, COALESCE(c.n_rings, 0) AS n_rings
 FROM (SELECT DISTINCT src AS vid FROM e) v LEFT JOIN counts c ON v.vid = c.vid
 """
+
+
+def links_sql() -> str:
+    """Links traversal twin (Links.java:30-130 minus the JSON DSL): start
+    at clique-min nations (vid < 5), spread along increasing edges
+    (dst > src), end on arrival at vid >= 15; paths recorded where they
+    end. Monotone spread makes the flood finite on the clique graph."""
+    return f"""
+WITH RECURSIVE {EDGES_NATION},
+p(cur, path, ended) AS (
+  SELECT vid, [vid], vid >= 15
+  FROM (SELECT DISTINCT src AS vid FROM e) WHERE vid < 5
+  UNION ALL
+  SELECT e.dst, list_append(p.path, e.dst), e.dst >= 15
+  FROM p JOIN e ON p.cur = e.src
+  WHERE NOT p.ended AND e.dst > e.src
+)
+SELECT cur AS vid, array_to_string(path, '-') AS path_str FROM p WHERE ended
+"""

@@ -172,3 +172,36 @@ def ref_rings(vertices: list[int], adj: dict[int, list[int]]) -> dict[int, int]:
                         nxt.append((t, ns))
         paths = nxt
     return counts
+
+
+def ref_betweenness(
+    vertices: list[int], adj: dict[int, list[int]], sources: list[int] | None = None
+) -> dict[int, float]:
+    """Deterministic Brandes betweenness (unweighted, undirected halving),
+    optionally restricted to a source sample."""
+    starts = sorted(vertices) if sources is None else sorted(sources)
+    bc = {v: 0.0 for v in vertices}
+    for s in starts:
+        stack, preds = [], {v: [] for v in vertices}
+        sigma = {v: 0.0 for v in vertices}
+        dist = {v: -1 for v in vertices}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj.get(v, []):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in vertices}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: round(bc[v] / 2.0, 6) for v in vertices}

@@ -144,3 +144,15 @@ def test_determinism(spark):
     for v in r1:
         # different partitioning only re-associates fp sums
         assert r1[v] == pytest.approx(r2[v], abs=1e-12)
+
+
+def test_pagerank_arrow_kernel_equivalent(spark):
+    edges = random_edges(300, 1200, seed=13)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=8)
+    a = df_to_dict(pagerank(g, l1_threshold=1e-6, kernel="sql", job_name="pk_sql"),
+                   "vid", "rank")
+    b = df_to_dict(pagerank(g, l1_threshold=1e-6, kernel="arrow", job_name="pk_arrow"),
+                   "vid", "rank")
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)

@@ -62,3 +62,60 @@ def test_rings_sequences_anchor_at_min(spark):
     for r in rows:
         assert r["ring"][0] == r["vid"] == r["ring"][-1]
         assert min(r["ring"]) == r["vid"]
+
+
+def test_betweenness_golden_path_graph(spark):
+    # path 0-1-2-3-4: exact betweenness 0,3,4,3,0
+    edges = [(i, i + 1) for i in range(4)]
+    g = make_graph(spark, edges)
+    from hugegraph_computer_spark.operators import betweenness_centrality
+    got = df_to_dict(betweenness_centrality(g), "vid", "betweenness")
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+
+
+def test_betweenness_random_vs_brandes_oracle(spark):
+    from hugegraph_computer_spark.operators import betweenness_centrality
+    from tests.oracle import ref_betweenness
+    edges = random_edges(60, 150, seed=21)
+    g = make_graph(spark, edges)
+    adj = symmetrize(edges)
+    vs = sorted(adj)
+    got = df_to_dict(betweenness_centrality(g), "vid", "betweenness")
+    exp = ref_betweenness(vs, adj)
+    assert got == pytest.approx(exp, abs=1e-5)
+    got_s = df_to_dict(betweenness_centrality(g, sources=6), "vid", "betweenness")
+    exp_s = ref_betweenness(vs, adj, sources=vs[:6])
+    assert got_s == pytest.approx(exp_s, abs=1e-5)
+
+
+def test_links_traversal(spark):
+    from hugegraph_computer_spark.operators import links
+    # weighted chain + branch; spread only along weight>=2; end at vid>=4
+    rows = [(0, 1, 5.0), (1, 2, 3.0), (2, 4, 2.0), (1, 3, 1.0), (3, 5, 9.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph.from_edges(df, weight_col="weight", symmetrize=False, dedup=False,
+                         num_partitions=4)
+    out = links(
+        g,
+        start_cond="vid = 0",
+        spread_cond="weight >= 2",
+        end_vertex_cond="vid >= 4",
+    )
+    paths = sorted(tuple(r["path"]) for r in out.collect())
+    # 0->1 (w5) ->2 (w3) ->4 (w2, ends at 4); 1->3 blocked (w1), so no path via 3
+    assert paths == [(0, 1, 2, 4)]
+    anchors = {r["vid"] for r in out.collect()}
+    assert anchors == {4}
+
+
+def test_links_end_edge(spark):
+    from hugegraph_computer_spark.operators import links
+    rows = [(0, 1, 1.0), (1, 2, 7.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph.from_edges(df, weight_col="weight", symmetrize=False, dedup=False,
+                         num_partitions=4)
+    out = links(g, start_cond="vid = 0", spread_cond="true",
+                end_edge_cond="weight > 5")
+    rows_out = [(r["vid"], tuple(r["path"])) for r in out.collect()]
+    # the end edge 1->2 (w7) records path [0,1,2] AT vertex 1 (the src side)
+    assert rows_out == [(1, (0, 1, 2))]

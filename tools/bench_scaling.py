@@ -86,12 +86,14 @@ def measured_run(cpus: int) -> dict:
     n = g.num_vertices()
     g.adjacency().count()
     sym_edges = g.edges.count()
+    kernel = os.environ.get("SPARK_GRAFT_KERNEL", "sql")
     t0 = time.time()
-    pagerank(g, l1_threshold=-1.0, max_supersteps=SUPERSTEPS).count()
+    pagerank(g, l1_threshold=-1.0, max_supersteps=SUPERSTEPS, kernel=kernel).count()
     dt = time.time() - t0
     spark.stop()
     return {
         "cpus": cpus,
+        "kernel": kernel,
         "vertices": n,
         "sym_edges": sym_edges,
         "supersteps": SUPERSTEPS,
@@ -105,9 +107,13 @@ def main() -> None:
         print("RESULT " + json.dumps(measured_run(int(sys.argv[2]))))
         return
 
+    levels = (8, 32)
+    if len(sys.argv) > 2 and sys.argv[1] == "--levels":
+        levels = tuple(int(x) for x in sys.argv[2].split(","))
+
     prepare()
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         out = subprocess.run(
             [sys.executable, __file__, "--run", str(cpus)],
             capture_output=True, text=True, cwd=str(REPO), timeout=1800,
@@ -119,20 +125,23 @@ def main() -> None:
         results[cpus] = json.loads(line[-1][len("RESULT "):])
         print(f"local[{cpus}]: {results[cpus]}")
 
-    tp8, tp32 = results[8]["edges_per_sec"], results[32]["edges_per_sec"]
-    eff = tp32 / tp8 / 4.0
+    lo, hi = levels
+    tp8, tp32 = results[lo]["edges_per_sec"], results[hi]["edges_per_sec"]
+    eff = tp32 / tp8 / (hi / lo)
     summary = {
         "workload": {
             "n_vertices": N_VERTICES, "directed_edges": N_DIRECTED_EDGES,
-            "zipf_a": ZIPF_A, "sym_edges": results[32]["sym_edges"],
+            "zipf_a": ZIPF_A, "sym_edges": results[hi]["sym_edges"],
             "supersteps": SUPERSTEPS,
         },
-        "local8": results[8],
-        "local32": results[32],
+        "local8": results[lo],
+        "local32": results[hi],
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
 
+    if levels != (8, 32):
+        return
     bench_md = REPO / "BENCH.md"
     bench_md.write_text(f"""# BENCH — measured results
 
@@ -140,16 +149,16 @@ def main() -> None:
 
 Identical reference-exact PageRank job ({SUPERSTEPS} fixed supersteps) on
 the identical pre-materialized synthetic link graph
-({results[32]['vertices']:,} vertices,
-{results[32]['sym_edges']:,} symmetrized edges, Zipf-skewed in-degree),
+({results[hi]['vertices']:,} vertices,
+{results[hi]['sym_edges']:,} symmetrized edges, Zipf-skewed in-degree),
 measured at two local parallelism levels (sandbox stand-in for N vs 4N
 executors per BASELINE.md protocol). Superstep loop only; adjacency
 build + cache is untimed warmup in both runs.
 
 | parallelism | seconds | edges/sec |
 |---|---|---|
-| local[8]  (N)  | {results[8]['seconds']} | {tp8:,} |
-| local[32] (4N) | {results[32]['seconds']} | {tp32:,} |
+| local[{lo}]  (N)  | {results[lo]['seconds']} | {tp8:,} |
+| local[{hi}] (4N) | {results[hi]['seconds']} | {tp32:,} |
 
 **Scaling efficiency = (tp_4N / tp_N) / 4 = {eff:.3f}**
 
