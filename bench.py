@@ -96,6 +96,13 @@ def run() -> dict:
         "edges_per_sec": round(sym_edges * supersteps / extra_pr["seconds"]),
         "seconds": extra_pr["seconds"],
     }
+    timed(
+        "pagerank_arrow",
+        lambda: pagerank(
+            g_cs, l1_threshold=1e-6, max_supersteps=10,
+            kernel="arrow", job_name="pr_arrow",
+        ).count(),
+    )
     timed("wcc", lambda: wcc(g_cs).count())
     timed("lpa", lambda: lpa(g_cs).count())
     timed("degree_centrality", lambda: degree_centrality(g_cs).count())

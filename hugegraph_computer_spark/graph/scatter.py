@@ -71,3 +71,35 @@ def scatter_sum(joined: DataFrame, max_id: int) -> DataFrame:
             yield pd.DataFrame({"dst": nz, "msg_sum": acc[nz]})
 
     return joined.mapInPandas(kernel, "dst long, msg_sum double")
+
+
+def scatter_min(joined: DataFrame, max_id: int) -> DataFrame:
+    """(vid, nbrs array<long>, label long) -> per-partition label minima
+    ``(dst long, msg long)`` — the numpy twin of explode+partial-min
+    (ValueMinCombiner). Uses ``np.minimum.at`` over a dense accumulator
+    initialized to a sentinel above any label."""
+    n = int(max_id) + 1
+
+    def kernel(batches):
+        flats: list[np.ndarray] = []
+        ls: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            labels = pdf["label"].to_numpy(dtype=np.int64)
+            nbrs = pdf["nbrs"].tolist()
+            lens = np.fromiter((len(a) for a in nbrs), dtype=np.int64, count=len(nbrs))
+            if lens.sum() == 0:
+                continue
+            flats.append(np.concatenate([np.asarray(a, dtype=np.int64) for a in nbrs]))
+            ls.append(np.repeat(labels, lens))
+        if flats:
+            flat = np.concatenate(flats) if len(flats) > 1 else flats[0]
+            lab = np.concatenate(ls) if len(ls) > 1 else ls[0]
+            sentinel = np.iinfo(np.int64).max
+            acc = np.full(n, sentinel, dtype=np.int64)
+            np.minimum.at(acc, flat, lab)
+            nz = np.nonzero(acc != sentinel)[0]
+            yield pd.DataFrame({"dst": nz, "msg": acc[nz]})
+
+    return joined.mapInPandas(kernel, "dst long, msg long")

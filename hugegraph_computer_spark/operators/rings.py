@@ -39,6 +39,7 @@ def rings_detection(
     graph: Graph,
     max_ring_length: int | None = None,
     max_supersteps: int = 50,
+    spread_cond: str | None = None,
     job_name: str = "rings",
 ) -> DataFrame:
     """Detect rings; returns ``(vid long, ring array<long>)`` — one row per
@@ -50,7 +51,13 @@ def rings_detection(
     # reads from can be evicted by the paths window.
     loop_paths = SuperstepLoop(spark, f"{job_name}_paths", None, max_supersteps)
     loop_rings = SuperstepLoop(spark, f"{job_name}_rings", None, max_supersteps)
-    edges = graph.edges.select("src", "dst")
+    # spread_cond ≈ RingsDetectionWithFilter's property-filter DSL
+    # (rings/filter/RingsDetectionWithFilter.java): a SQL boolean over the
+    # edge columns gating every send, superstep 0 included.
+    edges = graph.edges
+    if spread_cond is not None:
+        edges = edges.where(F.expr(spread_cond))
+    edges = edges.select("src", "dst")
 
     # superstep 0: path [self] to every neighbor with dst >= src
     paths = (

@@ -32,11 +32,13 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from hugegraph_computer_spark.graph.bsp import SuperstepLoop
 from hugegraph_computer_spark.graph.graph import Graph
+from hugegraph_computer_spark.graph.scatter import fits, scatter_min
 
 
 def wcc(
     graph: Graph,
     max_supersteps: int = 100,
+    kernel: str = "sql",
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     job_name: str = "wcc",
@@ -47,6 +49,9 @@ def wcc(
     spark = graph.edges.sparkSession
     loop = SuperstepLoop(spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every)
     adj = graph.adjacency()
+    if kernel not in ("sql", "arrow", "auto"):
+        raise ValueError(f"wcc: unknown kernel {kernel!r}")
+    use_arrow = kernel == "arrow" or (kernel == "auto" and fits(graph.max_vid()))
 
     start = 1
     state = None
@@ -85,12 +90,17 @@ def wcc(
     for s in range(start, max_supersteps):
         t0 = time.time()
         frontier = state.where("changed").select("vid", "label")
-        msgs = (
-            adj.join(frontier, "vid")
-            .select(F.explode("nbrs").alias("dst"), "label")
-            .groupBy("dst")
-            .agg(F.min("label").alias("msg"))
-        )
+        joined = adj.join(frontier, "vid")
+        if use_arrow:
+            msgs = scatter_min(
+                joined.select("vid", "nbrs", "label"), graph.max_vid()
+            ).groupBy("dst").agg(F.min("msg").alias("msg"))
+        else:
+            msgs = (
+                joined.select(F.explode("nbrs").alias("dst"), "label")
+                .groupBy("dst")
+                .agg(F.min("label").alias("msg"))
+            )
         new_state = (
             state.join(msgs, state["vid"] == msgs["dst"], "left")
             .select(

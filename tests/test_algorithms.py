@@ -156,3 +156,12 @@ def test_pagerank_arrow_kernel_equivalent(spark):
                    "vid", "rank")
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_wcc_arrow_kernel_equivalent(spark):
+    edges = random_edges(250, 700, seed=17)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=8)
+    a = df_to_dict(wcc(g, kernel="sql", job_name="w_sql"), "vid", "component")
+    b = df_to_dict(wcc(g, kernel="arrow", job_name="w_arrow"), "vid", "component")
+    assert a == b

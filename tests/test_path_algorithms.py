@@ -119,3 +119,16 @@ def test_links_end_edge(spark):
     rows_out = [(r["vid"], tuple(r["path"])) for r in out.collect()]
     # the end edge 1->2 (w7) records path [0,1,2] AT vertex 1 (the src side)
     assert rows_out == [(1, (0, 1, 2))]
+
+
+def test_rings_spread_filter(spark):
+    # weighted triangle; filter removes the closing edge -> no 3-rings
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 9.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph.from_edges(df, weight_col="weight", num_partitions=4)
+    from hugegraph_computer_spark.operators.rings import rings_detection
+    unfiltered = rings_detection(g).where("size(ring) = 4").count()
+    filtered = rings_detection(g, spread_cond="weight < 5").where(
+        "size(ring) = 4"
+    ).count()
+    assert unfiltered > 0 and filtered == 0

@@ -144,3 +144,23 @@ def test_multimodal_features_deterministic_and_stubbed(spark):
     frames = frame_sample_plan(a, every_n=10).collect()
     assert all(r["frame_index"] % 10 == 0 for r in frames)
     assert len(frames) == sum(1 for r in a.collect() if r["modality"] == "video") * 3
+
+
+def test_output_sinks(spark, tmp_path):
+    from hugegraph_computer_spark.sources.outputs import (
+        hdfs_output, struct_output, table_output,
+    )
+    df = spark.createDataFrame([(1, 0.5), (2, 1.5)], "vid long, rank double")
+    hdfs_output(df, str(tmp_path / "txt"), delimiter="|")
+    lines = sorted(
+        r["value"] for r in spark.read.text(str(tmp_path / "txt")).collect()
+    )
+    assert lines == ["1|0.5", "2|1.5"]
+    struct_output(df, str(tmp_path / "json"), fmt="json")
+    back = spark.read.json(str(tmp_path / "json"))
+    assert back.count() == 2 and set(back.columns) == {"vid", "rank"}
+    struct_output(df, str(tmp_path / "csv"), fmt="csv")
+    back = spark.read.option("header", True).csv(str(tmp_path / "csv"))
+    assert back.count() == 2
+    table_output(df, str(tmp_path / "tbl"))
+    assert spark.read.parquet(str(tmp_path / "tbl")).count() == 2
