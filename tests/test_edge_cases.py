@@ -1,0 +1,104 @@
+"""Edge cases + property-based invariants (SURVEY.md §5 strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hugegraph_computer_spark.graph.graph import Graph
+from hugegraph_computer_spark.operators import (
+    degree_centrality,
+    lpa,
+    pagerank,
+    triangle_count,
+    wcc,
+)
+from tests.oracle import ref_wcc, symmetrize
+from tests.test_algorithms import df_to_dict, make_graph
+
+
+def test_pagerank_empty_graph_raises(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=2)
+    with pytest.raises(ValueError, match="no vertices"):
+        pagerank(g)
+
+
+def test_single_vertex_self_loop(spark):
+    g = make_graph(spark, [(7, 7)])
+    assert df_to_dict(wcc(g), "vid", "component") == {7: 7}
+    pr = df_to_dict(pagerank(g, max_supersteps=5), "vid", "rank")
+    assert pr[7] == pytest.approx(1.0, abs=1e-9)
+    # self loop symmetrized+deduped = one edge 7->7: degree 1
+    assert df_to_dict(degree_centrality(g), "vid", "degree") == {7: 1.0}
+    g2 = make_graph(spark, [(7, 7)], drop_self_loops=True)
+    # dropping the loop leaves an edgeless vertex set (empty vertices());
+    # triangle count on the non-dropped graph must be 0 (self loops excluded)
+    assert df_to_dict(triangle_count(g), "vid", "triangles") == {7: 0}
+
+
+def test_two_isolated_cliques_lpa_stable(spark):
+    k3a = [(0, 1), (1, 2), (0, 2)]
+    k3b = [(10, 11), (11, 12), (10, 12)]
+    g = make_graph(spark, k3a + k3b)
+    got = df_to_dict(lpa(g), "vid", "label")
+    assert {got[v] for v in (0, 1, 2)} == {0}
+    assert {got[v] for v in (10, 11, 12)} == {10}
+
+
+def test_star_graph_hub_chunking(spark):
+    # hub with 600 spokes; chunk=64 forces multi-row adjacency
+    edges = [(0, i) for i in range(1, 601)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=4)
+    adj = g.adjacency(chunk=64, cache=False)
+    hub_rows = adj.where("vid = 0").collect()
+    assert len(hub_rows) == 10  # ceil(600/64)
+    assert all(r["deg"] == 600 for r in hub_rows)
+    assert sum(len(r["nbrs"]) for r in hub_rows) == 600
+    # chunked scatter still sums exactly: degree via chunked adjacency
+    total = adj.select(F.explode("nbrs")).count()
+    assert total == 1200  # symmetrized star
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=60,
+    )
+)
+def test_wcc_matches_oracle_on_arbitrary_graphs(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=4)
+    got = df_to_dict(wcc(g), "vid", "component")
+    adj = symmetrize(edges)
+    assert got == ref_wcc(sorted(adj), adj)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1, max_size=40,
+    )
+)
+def test_graph_build_invariants(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=4)
+    rows = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    # symmetric closure, deduplicated
+    assert rows == {(b, a) for a, b in rows}
+    assert len(rows) == g.edges.count()
+    # vertices = endpoints
+    vs = {r["vid"] for r in g.vertices().collect()}
+    assert vs == {v for e in rows for v in e}
