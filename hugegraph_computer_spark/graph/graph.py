@@ -219,6 +219,23 @@ class Graph:
         self._adj_cache[key] = adj
         return adj
 
+    def flat_edges(self, cache: bool = True) -> DataFrame:
+        """Flat (src, dst) hash-partitioned by src and sorted within
+        partitions — the co-partitioned gather side for the flat Arrow
+        scatter kernel (graph.scatter.scatter_sum_flat). Cached like the
+        chunked adjacency."""
+        if "flat" in self._adj_cache:
+            return self._adj_cache["flat"]
+        fe = (
+            self.edges.select("src", "dst")
+            .repartition(self.num_partitions, "src")
+            .sortWithinPartitions("src")
+        )
+        if cache:
+            fe = fe.persist()
+        self._adj_cache["flat"] = fe
+        return fe
+
     def unpersist(self) -> None:
         for adj in self._adj_cache.values():
             adj.unpersist()

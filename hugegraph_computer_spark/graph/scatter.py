@@ -103,3 +103,32 @@ def scatter_min(joined: DataFrame, max_id: int) -> DataFrame:
             yield pd.DataFrame({"dst": nz, "msg": acc[nz]})
 
     return joined.mapInPandas(kernel, "dst long, msg long")
+
+
+def scatter_sum_flat(joined: DataFrame, max_id: int) -> DataFrame:
+    """(dst long, contrib double) flat rows -> per-partition partial sums
+    ``(dst long, msg_sum double)``.
+
+    The flat variant of :func:`scatter_sum`: the gather join happens
+    JVM-side against the co-partitioned flat edge table, so Arrow ships two
+    primitive columns (no nested lists -> no per-row numpy allocation) and
+    the kernel is a single bincount per partition. This is the fast path;
+    the CSR variant remains for chunk-aware processing."""
+    n = int(max_id) + 1
+
+    def kernel(batches):
+        flats: list[np.ndarray] = []
+        ws: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flats.append(pdf["dst"].to_numpy(dtype=np.int64))
+            ws.append(pdf["contrib"].to_numpy(dtype=np.float64))
+        if flats:
+            flat = np.concatenate(flats) if len(flats) > 1 else flats[0]
+            w = np.concatenate(ws) if len(ws) > 1 else ws[0]
+            acc = np.bincount(flat, weights=w, minlength=n)
+            nz = np.nonzero(acc)[0]
+            yield pd.DataFrame({"dst": nz, "msg_sum": acc[nz]})
+
+    return joined.mapInPandas(kernel, "dst long, msg_sum double")

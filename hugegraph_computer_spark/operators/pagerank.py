@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 from hugegraph_computer_spark.graph.bsp import SuperstepLoop
 from hugegraph_computer_spark.graph.graph import Graph
-from hugegraph_computer_spark.graph.scatter import fits, scatter_sum
+from hugegraph_computer_spark.graph.scatter import fits, scatter_sum_flat
 
 ALPHA_DEFAULT = 0.15  # page_rank.alpha, PageRank.java:36-38
 
@@ -81,10 +81,17 @@ def pagerank(
     n = graph.num_vertices()
     if n == 0:
         raise ValueError("pagerank: graph has no vertices")
-    adj = graph.adjacency()
     if kernel not in ("sql", "arrow", "auto"):
         raise ValueError(f"pagerank: unknown kernel {kernel!r}")
     use_arrow = kernel == "arrow" or (kernel == "auto" and fits(graph.max_vid()))
+    if use_arrow:
+        # materialize the co-partitioned flat edge cache OUTSIDE the
+        # superstep jobs (its repartition shuffle must not be owned by a
+        # superstep plan, or cleanup between supersteps can reap it)
+        flat = graph.flat_edges()
+        flat.count()
+    else:
+        adj = graph.adjacency()
 
     start_superstep = 1
     state = None
@@ -128,15 +135,16 @@ def pagerank(
         contrib = state.where(F.col("deg") > 0).select(
             "vid", (F.col("rank") / F.col("deg")).alias("contrib")
         )
-        joined = adj.join(contrib, "vid")
         if use_arrow:
-            partials = scatter_sum(
-                joined.select("vid", "nbrs", "contrib"), graph.max_vid()
-            )
+            gathered = flat.join(
+                contrib, flat["src"] == contrib["vid"]
+            ).select("dst", "contrib")
+            partials = scatter_sum_flat(gathered, graph.max_vid())
             msgs = partials.groupBy("dst").agg(F.sum("msg_sum").alias("msg_sum"))
         else:
             msgs = (
-                joined.select(F.explode("nbrs").alias("dst"), "contrib")
+                adj.join(contrib, "vid")
+                .select(F.explode("nbrs").alias("dst"), "contrib")
                 .groupBy("dst")
                 .agg(F.sum("contrib").alias("msg_sum"))
             )

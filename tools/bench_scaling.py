@@ -77,16 +77,20 @@ def measured_run(cpus: int) -> dict:
     from hugegraph_computer_spark.operators import pagerank
 
     spark = get_spark(
-        master=f"local[{cpus}]", app_name=f"scaling-{cpus}", shuffle_partitions=cpus
+        master=f"local[{cpus}]", app_name=f"scaling-{cpus}", shuffle_partitions=cpus,
+        extra_conf={"spark.python.worker.faulthandler.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     edges = spark.read.parquet(EDGES_PATH)
     g = Graph.from_edges(edges, symmetrize=False, dedup=False, num_partitions=cpus)
-    # warmup (untimed): materialize cached adjacency + vertex count
-    n = g.num_vertices()
-    g.adjacency().count()
-    sym_edges = g.edges.count()
     kernel = os.environ.get("SPARK_GRAFT_KERNEL", "sql")
+    # warmup (untimed): materialize the kernel's cached edge structure
+    n = g.num_vertices()
+    if kernel == "arrow":
+        g.flat_edges().count()
+    else:
+        g.adjacency().count()
+    sym_edges = g.edges.count()
     t0 = time.time()
     pagerank(g, l1_threshold=-1.0, max_supersteps=SUPERSTEPS, kernel=kernel).count()
     dt = time.time() - t0
