@@ -1,0 +1,125 @@
+"""Job runner CLI — the engine's HugeGraphComputer.main equivalent.
+
+The reference launches jobs as ``start-computer.sh -d conf -r master|worker``
+(computer-dist/.../dist/HugeGraphComputer.java:57-82) with the algorithm and
+its parameters in a properties file. Spark collapses master+worker into one
+driver program, so the CLI is:
+
+    spark-submit --py-files hugegraph_computer_spark.zip \
+        -m hugegraph_computer_spark \
+        --algorithm page_rank --edges /data/edges.parquet \
+        --output /data/ranks --checkpoint-dir /ckpt --resume
+
+or locally: ``python -m hugegraph_computer_spark --algorithm wcc ...``.
+Input is either an edge parquet (src, dst[, weight]) or a source-code
+corpus parquet (repo, path, commit, lang, content) via ``--corpus``
+(imports are extracted and sha256-verified first — the north-rule path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hugegraph_computer_spark")
+    p.add_argument("--algorithm", required=True,
+                   help="page_rank | wcc | lpa | triangle_count | "
+                        "clustering_coefficient | degree_centrality | "
+                        "closeness_centrality | betweenness_centrality | rings")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--edges", help="parquet with (src,dst[,weight])")
+    src.add_argument("--corpus", help="parquet with (repo,path,commit,lang,content)")
+    p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument("--output-format", default="parquet",
+                   choices=["parquet", "csv", "json", "text"])
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--max-supersteps", type=int, default=10)
+    p.add_argument("--l1-threshold", type=float, default=1e-6)
+    p.add_argument("--alpha", type=float, default=0.15)
+    p.add_argument("--kernel", default="sql", choices=["sql", "arrow", "auto"])
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-symmetrize", action="store_true",
+                   help="treat edges as directed (input.vertex_with_edges_bothdirection=true)")
+    p.add_argument("--weight-col", default=None)
+    p.add_argument("--sources", type=int, default=None,
+                   help="sampled source count (closeness/betweenness)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from hugegraph_computer_spark.graph.graph import Graph
+    from hugegraph_computer_spark.operators import ALGORITHMS
+    from hugegraph_computer_spark.session import get_spark
+    from hugegraph_computer_spark.sources.extract import corpus_graph
+    from hugegraph_computer_spark.sources import outputs
+
+    if args.algorithm not in ALGORITHMS:
+        print(f"unknown algorithm {args.algorithm!r}; "
+              f"one of {sorted(ALGORITHMS)}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(master=args.master, app_name=f"hgc-{args.algorithm}")
+    t0 = time.time()
+    ids = None
+    if args.corpus is not None:
+        corpus = spark.read.parquet(args.corpus)
+        g, ids = corpus_graph(corpus, symmetrize=not args.no_symmetrize)
+    else:
+        g = Graph.from_edges(
+            spark.read.parquet(args.edges),
+            symmetrize=not args.no_symmetrize,
+            weight_col=args.weight_col,
+        )
+
+    algo = ALGORITHMS[args.algorithm]
+    kw: dict = {}
+    if args.algorithm == "page_rank":
+        kw = dict(alpha=args.alpha, l1_threshold=args.l1_threshold,
+                  max_supersteps=args.max_supersteps, kernel=args.kernel,
+                  checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+    elif args.algorithm in ("wcc", "lpa"):
+        kw = dict(max_supersteps=args.max_supersteps,
+                  checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+        if args.algorithm == "wcc":
+            kw["kernel"] = args.kernel
+    elif args.algorithm == "closeness_centrality":
+        kw = dict(sources=args.sources, max_supersteps=args.max_supersteps,
+                  checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+    elif args.algorithm == "betweenness_centrality":
+        kw = dict(sources=args.sources)
+
+    result = algo(g, **kw)
+    if ids is not None:
+        vid_col = result.columns[0]
+        result = result.join(ids, result[vid_col] == ids["vid"]).select(
+            ids["orig"].alias("repo"), *[result[c] for c in result.columns[1:]]
+        )
+
+    if args.output_format == "parquet":
+        outputs.table_output(result, args.output)
+    elif args.output_format == "text":
+        outputs.hdfs_output(result, args.output)
+    else:
+        outputs.struct_output(result, args.output, fmt=args.output_format)
+
+    n = spark.read.format(
+        "parquet" if args.output_format == "parquet" else args.output_format
+    ).load(args.output).count() if args.output_format == "parquet" else None
+    print(json.dumps({
+        "algorithm": args.algorithm,
+        "output": args.output,
+        "rows": n,
+        "seconds": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -248,13 +248,51 @@ def dense_ids(df: DataFrame, col: str) -> DataFrame:
     The reference orders ids shortlex over their byte encoding
     (computer-api/.../util/BytesUtil.java:50-76); for MSB varint longs that
     equals numeric order (SURVEY.md §1.3). We sort distinct keys and assign
-    0..n-1 so that WCC's "min id" stays comparable after encoding. The sort
-    is distributed (range partitioner); the id assignment is
-    ``zipWithIndex`` — one extra count job, no driver materialization, so
-    it scales to 10^9+ vertices.
+    0..n-1 so that WCC's "min id" stays comparable after encoding.
+
+    Two distributed passes, Arrow end to end (an RDD ``zipWithIndex`` would
+    push every row through Python serialization — measured 10x slower at
+    10^6 keys): (1) range-partition + sort the distinct keys and count
+    rows per partition; (2) assign ``prefix_offset + local position`` per
+    partition in one mapInPandas. Range partitions are globally ordered,
+    so the assigned id equals the key's global rank regardless of where
+    the sampled boundaries fall. Scales to 10^9+ keys; only the per-
+    partition counts touch the driver.
     """
     spark = df.sparkSession
-    distinct = df.select(F.col(col).alias("orig")).dropDuplicates(["orig"]).sort("orig")
-    schema = StructType(distinct.schema.fields + [StructField("vid", LongType(), False)])
-    rdd = distinct.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return spark.createDataFrame(rdd, schema)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    distinct = (
+        df.select(F.col(col).alias("orig"))
+        .dropDuplicates(["orig"])
+        .repartitionByRange(n, "orig")
+        .sortWithinPartitions("orig")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        int(r["pid"]): int(r["cnt"])
+        for r in distinct.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    schema = StructType(
+        [distinct.schema["orig"], StructField("vid", LongType(), False)]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        pos = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["pid"].iloc[0])]
+            vids = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pd.DataFrame({"orig": pdf["orig"], "vid": list(vids)})
+
+    out = distinct.mapInPandas(assign, schema)
+    return out

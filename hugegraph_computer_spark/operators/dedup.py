@@ -104,7 +104,9 @@ def minhash_bands(
 def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
     """Near-duplicate candidate pairs ``(doc_a, doc_b)`` (a < b, distinct)
     that collide in at least one LSH band."""
-    b = minhash_bands(docs, **kw)
+    # materialize once: a self-join would otherwise recompute the full
+    # shingle->minhash plan on BOTH sides (2x the md5 work at 100 TB)
+    b = minhash_bands(docs, **kw).localCheckpoint()
     left = b.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_a"))
     right = b.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_b"))
     return (
@@ -215,7 +217,7 @@ def simhash_near_pairs(
     ]
     bs = s.select("doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
-    )
+    ).localCheckpoint()  # one simhash pass, not two (self-join below)
     a = bs.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = bs.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -36,8 +36,23 @@ def _undirected(graph: Graph) -> DataFrame:
     )
 
 
-def triangle_count(graph: Graph, job_name: str = "triangle_count") -> DataFrame:
-    """Returns ``(vid long, triangles long)`` per vertex (0 if none)."""
+def triangle_count(
+    graph: Graph, job_name: str = "triangle_count", algorithm: str = "intersect"
+) -> DataFrame:
+    """Returns ``(vid long, triangles long)`` per vertex (0 if none).
+
+    ``algorithm="intersect"`` — per-edge neighbor-set intersection
+    (matches the reference's ss2 formula directly); data moved is
+    Σ(|N(u)|+|N(v)|) per edge ≈ Σ deg² — fine for bounded-degree graphs.
+    ``algorithm="oriented"`` — the scale path for skewed graphs: orient
+    every edge from lower to higher (degree, id); each triangle is
+    enumerated exactly once at its lowest-degree corner via a wedge join +
+    closing-edge semi-join, then scattered +1 to all three corners. Work is
+    Σ C(outdeg⁺(u), 2) = O(E^1.5) regardless of hubs — the standard
+    distributed triangle plan. Both return identical counts (tested).
+    """
+    if algorithm == "oriented":
+        return _triangle_oriented(graph)
     e = _undirected(graph)
     adj = (
         e.groupBy("src")
@@ -58,5 +73,50 @@ def triangle_count(graph: Graph, job_name: str = "triangle_count") -> DataFrame:
     return (
         graph.vertices()
         .join(counts, "vid", "left")
+        .select("vid", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+    )
+
+
+def _triangle_oriented(graph: Graph) -> DataFrame:
+    """Degree-oriented triangle enumeration (compact-forward)."""
+    e = _undirected(graph)
+    deg = e.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # total order on vertices: (deg, vid) — orient each undirected edge
+    # low -> high so every triangle has exactly one wedge corner
+    ranked = (
+        e.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "sd"), "src")
+        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dd"), "dst")
+        .where(
+            (F.col("sd") < F.col("dd"))
+            | ((F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    # wedges (u -> v, u -> w) with v "<" w in the same orientation order,
+    # closed by the oriented edge v -> w
+    wedges = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+    ).select(
+        F.col("a.src").alias("u"), F.col("a.dst").alias("v"), F.col("b.dst").alias("w")
+    )
+    closing = ranked.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionByName(
+        ranked.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    )
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    corners = (
+        tris.select(F.col("u").alias("vid"))
+        .unionByName(tris.select(F.col("v").alias("vid")))
+        .unionByName(tris.select(F.col("w").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        graph.vertices()
+        .join(corners, "vid", "left")
         .select("vid", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
     )

@@ -165,3 +165,15 @@ def test_wcc_arrow_kernel_equivalent(spark):
     a = df_to_dict(wcc(g, kernel="sql", job_name="w_sql"), "vid", "component")
     b = df_to_dict(wcc(g, kernel="arrow", job_name="w_arrow"), "vid", "component")
     assert a == b
+
+
+def test_triangle_oriented_matches_intersect(spark):
+    g = make_graph(spark, F2_EDGES, drop_self_loops=True)
+    assert df_to_dict(triangle_count(g, algorithm="oriented"), "vid", "triangles") \
+        == F2_EXPECTED_TRIANGLES
+    edges = random_edges(150, 600, seed=23)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g2 = Graph.from_edges(df, drop_self_loops=True, num_partitions=8)
+    a = df_to_dict(triangle_count(g2, algorithm="intersect"), "vid", "triangles")
+    b = df_to_dict(triangle_count(g2, algorithm="oriented"), "vid", "triangles")
+    assert a == b

@@ -96,3 +96,24 @@ def test_corpus_graph_end_to_end(spark):
     assert total == pytest.approx(1.0, abs=1e-6)
     comp = wcc(g)
     assert comp.count() == n
+
+
+def test_cli_runner(spark, tmp_path):
+    """python -m hugegraph_computer_spark end to end (entry point A)."""
+    import subprocess, sys, json
+    edges = [(0, 1), (1, 2), (2, 0), (5, 6)]
+    epath = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(epath)
+    out = str(tmp_path / "comp")
+    r = subprocess.run(
+        [sys.executable, "-m", "hugegraph_computer_spark",
+         "--algorithm", "wcc", "--edges", epath, "--output", out,
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert info["rows"] == 5
+    got = {row["vid"]: row["component"]
+           for row in spark.read.parquet(out).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
