@@ -26,9 +26,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hugegraph_computer_spark.graph.graph import Graph  # noqa: E402
 from hugegraph_computer_spark.operators import (  # noqa: E402
+    closeness_centrality,
     degree_centrality,
     lpa,
     pagerank,
+    rings_count,
     triangle_count,
     wcc,
 )
@@ -47,6 +49,7 @@ from hugegraph_computer_spark.session import get_spark  # noqa: E402
 from hugegraph_computer_spark.sources.tpch_graph import (  # noqa: E402
     copurchase_edges,
     customer_supplier_edges,
+    nation_same_region_edges,
 )
 
 
@@ -106,8 +109,18 @@ def run() -> dict:
     timed("wcc", lambda: wcc(g_cs).count())
     timed("lpa", lambda: lpa(g_cs).count())
     timed("degree_centrality", lambda: degree_centrality(g_cs).count())
+    timed(
+        "closeness_32src",
+        lambda: closeness_centrality(g_cs, sources=32).count(),
+    )
     g_cp = Graph.from_edges(copurchase_edges(spark, sf_dir), drop_self_loops=True)
     timed("triangle_count", lambda: triangle_count(g_cp).count())
+    timed(
+        "triangle_oriented",
+        lambda: triangle_count(g_cp, algorithm="oriented").count(),
+    )
+    g_nation = Graph.from_edges(nation_same_region_edges(spark, sf_dir))
+    timed("rings_count", lambda: rings_count(g_nation).count())
     g_cs.unpersist()
 
     # ---- training-data pipeline
