@@ -65,6 +65,7 @@ from hugegraph_computer_spark.sources.tpch_graph import (
     copurchase_edges,
     customer_supplier_edges,
     customer_supplier_weighted,
+    hierarchy_edges,
     nation_same_region_edges,
 )
 
@@ -156,6 +157,13 @@ def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(_cs_graph(spark, sf_dir), sources=16)
+
+
+def q_betweenness_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness on the supplier-nation-region forest — oracle
+    checkable via the tree closed form."""
+    g = Graph.from_edges(hierarchy_edges(spark, sf_dir))
+    return betweenness_centrality(g)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rings_count": q_rings,
         "links": q_links,
         "betweenness_centrality": q_betweenness,
+        "betweenness_tree": q_betweenness_tree,
         # --- training-data pipeline: dedup ---
         "exact_dedup": q_exact_dedup,
         "minhash_bands": q_minhash_bands,
@@ -292,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_centrality": oracles.closeness_sql(),
         "rings_count": oracles.rings_count_sql(),
         "links": oracles.links_sql(),
+        "betweenness_tree": oracles.betweenness_tree_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),

@@ -478,3 +478,40 @@ p(cur, path, ended) AS (
 )
 SELECT cur AS vid, array_to_string(path, '-') AS path_str FROM p WHERE ended
 """
+
+
+def betweenness_tree_sql() -> str:
+    """Exact betweenness on the supplier—nation—region forest via the tree
+    closed form: for v in a tree of size t whose removal leaves components
+    of sizes c_i, betweenness(v) = ((t-1)^2 - Σ c_i^2) / 2 — identical to
+    deterministic Brandes with the undirected halving (unique shortest
+    paths in a tree)."""
+    return """
+WITH sn AS MATERIALIZED (
+  SELECT CAST(200 + s_suppkey AS BIGINT) AS vid,
+         CAST(s_nationkey AS BIGINT) AS nat
+  FROM supplier
+),
+scount AS MATERIALIZED (SELECT nat, CAST(COUNT(*) AS BIGINT) AS s_v FROM sn GROUP BY nat),
+nt AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS vid,
+         CAST(100 + n_regionkey AS BIGINT) AS reg,
+         COALESCE(s.s_v, 0) AS s_v
+  FROM nation LEFT JOIN scount s ON CAST(n_nationkey AS BIGINT) = s.nat
+),
+rsz AS MATERIALIZED (
+  SELECT reg, CAST(1 + COUNT(*) + SUM(s_v) AS BIGINT) AS t,
+         SUM((1 + s_v) * (1 + s_v)) AS sq
+  FROM nt GROUP BY reg
+)
+SELECT sn.vid, 0.0 AS betweenness FROM sn
+UNION ALL
+SELECT nt.vid,
+       ROUND(((r.t - 1) * (r.t - 1) - (nt.s_v + (r.t - 1 - nt.s_v) * (r.t - 1 - nt.s_v)))
+             / 2.0, 6) AS betweenness
+FROM nt JOIN rsz r ON nt.reg = r.reg
+UNION ALL
+SELECT r.reg AS vid,
+       ROUND(((r.t - 1) * (r.t - 1) - r.sq) / 2.0, 6) AS betweenness
+FROM rsz r
+"""

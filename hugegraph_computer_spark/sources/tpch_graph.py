@@ -90,3 +90,25 @@ def nation_same_region_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_nationkey").cast("long").alias("dst"),
         )
     )
+
+
+NATION_OFFSET = 100
+SUPPLIER_TREE_OFFSET = 200
+
+
+def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier—nation ∪ nation—region forest (one tree per region).
+
+    vids: nation = n_nationkey, region = 100 + r_regionkey,
+    supplier = 200 + s_suppkey. Trees have exact closed-form betweenness
+    (pairs-through-vertex from removal-component sizes), which the
+    DuckDB oracle for betweenness_centrality exploits."""
+    sup = _read(spark, sf_dir, "supplier").select(
+        (F.lit(SUPPLIER_TREE_OFFSET) + F.col("s_suppkey")).cast("long").alias("src"),
+        F.col("s_nationkey").cast("long").alias("dst"),
+    )
+    nat = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.lit(NATION_OFFSET) + F.col("n_regionkey")).cast("long").alias("dst"),
+    )
+    return sup.unionByName(nat)

@@ -102,3 +102,29 @@ def test_graph_build_invariants(spark, edges):
     # vertices = endpoints
     vs = {r["vid"] for r in g.vertices().collect()}
     assert vs == {v for e in rows for v in e}
+
+
+def test_mega_hub_skew_pagerank_and_wcc(spark):
+    """Zipf-extreme graph: one hub adjacent to 20k spokes + a background
+    ring. The chunked adjacency (hub split across rows) must keep results
+    exact and identical to the oracle — the explicit skew handling the
+    north rule requires."""
+    from tests.oracle import ref_pagerank, ref_wcc
+
+    hub_edges = [(0, i) for i in range(1, 20_001)]
+    ring = [(i, i + 1) for i in range(20_001, 20_050)]
+    edges = hub_edges + ring
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=8)
+    # force multi-chunk hub rows
+    adj = g.adjacency(chunk=1024)
+    hub_chunks = adj.where("vid = 0").count()
+    assert hub_chunks == 20  # ceil(20000/1024)
+
+    adjacency = symmetrize(edges)
+    vs = sorted(adjacency)
+    pr = df_to_dict(pagerank(g, l1_threshold=1e-6, max_supersteps=6), "vid", "rank")
+    exp = ref_pagerank(vs, adjacency, l1_threshold=1e-6, max_supersteps=6)
+    for v in (0, 1, 20_001, 20_025):
+        assert pr[v] == pytest.approx(exp[v], abs=1e-9)
+    assert df_to_dict(wcc(g), "vid", "component") == ref_wcc(vs, adjacency)
