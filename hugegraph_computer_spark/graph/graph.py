@@ -77,6 +77,7 @@ class Graph:
         vertices: DataFrame | None = None,
         num_partitions: int | None = None,
         weight_col: str | None = None,
+        weight_agg: str = "max",
     ) -> "Graph":
         """Build a Graph from a raw (src, dst[, weight]) DataFrame.
 
@@ -87,6 +88,11 @@ class Graph:
         vertices: optional (vid) DataFrame; when given, edges referencing
         unknown vertices are dropped (FileGraphPartition.java:314-317) and
         isolated vertices are preserved.
+        weight_agg: how duplicate (src,dst) weights combine under dedup —
+        "max" | "min" | "sum" | "first"(min weight order for determinism) —
+        the engine's analogue of the reference's properties combiners at
+        ingest (MergeNew/MergeOld/Overwrite, combiner/*.java; applied in
+        receiver/vertex/VertexMessageRecvPartition.java:38-70).
         """
         cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
         if weight_col:
@@ -100,11 +106,19 @@ class Graph:
                 rev.append(F.col("weight"))
             e = e.unionByName(e.select(*rev))
         if dedup:
-            # SINGLE frequency: for weighted graphs keep the max weight per
-            # pair (deterministic; the reference keeps whichever survives
-            # its sort, we pin a rule).
+            # SINGLE frequency: duplicate pairs combine per weight_agg
+            # (the reference keeps whichever survives its sort order; we
+            # pin deterministic rules).
             if weight_col:
-                e = e.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+                aggs = {
+                    "max": F.max("weight"),
+                    "min": F.min("weight"),
+                    "sum": F.sum("weight"),
+                    "first": F.min("weight"),
+                }
+                if weight_agg not in aggs:
+                    raise ValueError(f"unknown weight_agg {weight_agg!r}")
+                e = e.groupBy("src", "dst").agg(aggs[weight_agg].alias("weight"))
             else:
                 e = e.dropDuplicates(["src", "dst"])
         if vertices is not None:

@@ -132,3 +132,23 @@ def test_rings_spread_filter(spark):
         "size(ring) = 4"
     ).count()
     assert unfiltered > 0 and filtered == 0
+
+
+def test_closeness_weighted(spark):
+    # weighted path 0 -1.0- 1 -2.0- 2: d(0,2)=3.0
+    rows = [(0, 1, 1.0), (1, 2, 2.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    g = Graph.from_edges(df, weight_col="w", num_partitions=4)
+    got = df_to_dict(closeness_centrality(g, weighted=True), "vid", "closeness")
+    assert got[0] == pytest.approx(round(1 / 1.0 + 1 / 3.0, 6))
+    assert got[1] == pytest.approx(round(1 / 1.0 + 1 / 2.0, 6))
+    assert got[2] == pytest.approx(round(1 / 2.0 + 1 / 3.0, 6))
+
+
+def test_weight_agg_policies(spark):
+    rows = [(0, 1, 2.0), (0, 1, 5.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    for agg, exp in [("max", 5.0), ("min", 2.0), ("sum", 7.0)]:
+        g = Graph.from_edges(df, weight_col="w", weight_agg=agg, num_partitions=2)
+        w = g.edges.where("src = 0 and dst = 1").collect()[0]["weight"]
+        assert w == exp, agg
