@@ -30,6 +30,7 @@ from hugegraph_computer_spark import oracles
 from hugegraph_computer_spark.graph.graph import Graph
 from hugegraph_computer_spark.operators import (
     betweenness_centrality,
+    coreness,
     closeness_centrality,
     links,
     clustering_coefficient,
@@ -51,6 +52,7 @@ from hugegraph_computer_spark.operators.multimodal import extract_features, synt
 from hugegraph_computer_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk,
+    embedding_near_dup_pairs,
     ivf_topk,
 )
 from hugegraph_computer_spark.operators.text import (
@@ -217,6 +219,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, n_planes=IVF_PLANES, dim=EMB_DIM
+    )
+
+
 # ------------------------------------------------- rows-only (no SQL oracle)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -241,6 +249,10 @@ def q_corpus_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(ids, comp["vid"] == ids["vid"]).select(
         ids["orig"].alias("repo"), comp["component"]
     )
+
+
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return coreness(_cp_graph(spark, sf_dir))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,9 +294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         # --- corpus link graph (north rule input shape) + multimodal ---
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_wcc": q_corpus_wcc,
+        "coreness": q_coreness,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -313,5 +327,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": oracles.cosine_topk_sql(k=TOPK, n_queries=N_QUERIES),
         "ivf_topk": oracles.ivf_topk_sql(
             _hyperplanes(EMB_DIM, IVF_PLANES), k=TOPK, n_queries=N_QUERIES
+        ),
+        "embedding_near_dup": oracles.embedding_near_dup_sql(
+            _hyperplanes(EMB_DIM, IVF_PLANES), threshold=0.3
         ),
     }

@@ -15,6 +15,7 @@ from hugegraph_computer_spark.operators.closeness import closeness_centrality
 from hugegraph_computer_spark.operators.rings import rings_detection, rings_count
 from hugegraph_computer_spark.operators.links import links
 from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
+from hugegraph_computer_spark.operators.kcore import coreness
 
 ALGORITHMS = {
     "page_rank": pagerank,
@@ -27,6 +28,7 @@ ALGORITHMS = {
     "rings": rings_count,
     "links": links,
     "betweenness_centrality": betweenness_centrality,
+    "coreness": coreness,
 }
 
 __all__ = [
@@ -41,5 +43,6 @@ __all__ = [
     "rings_count",
     "links",
     "betweenness_centrality",
+    "coreness",
     "ALGORITHMS",
 ]

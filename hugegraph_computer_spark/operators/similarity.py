@@ -140,3 +140,45 @@ def ivf_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a, id_b, score)`` with
+    cosine >= threshold, id_a < id_b.
+
+    Scale path (default): sign-LSH bucket join prunes candidates before the
+    exact cosine filter — near-identical vectors land in the same bucket
+    with high probability; recall < 1 by construction (tunable via
+    n_planes). ``exact=True`` compares all pairs (quadratic; small data /
+    recall baseline only).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(dim, n_planes, seed)
+        ab = a.withColumn("bucket", lsh_bucket(F.col("va"), planes))
+        bb = b.withColumn("bucket", lsh_bucket(F.col("vb"), planes))
+        pairs = ab.join(bb, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

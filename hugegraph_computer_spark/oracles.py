@@ -515,3 +515,36 @@ SELECT r.reg AS vid,
        ROUND(((r.t - 1) * (r.t - 1) - r.sq) / 2.0, 6) AS betweenness
 FROM rsz r
 """
+
+
+def embedding_near_dup_sql(
+    planes: list[list[float]], threshold: float = 0.8
+) -> str:
+    """LSH-bucketed embedding near-dup pairs with exact cosine filter —
+    literal hyperplanes shared with the engine."""
+
+    def bucket_expr(vec: str) -> str:
+        bits = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.vec, b.vec) /
+             (sqrt(list_dot_product(a.vec, a.vec)) *
+              sqrt(list_dot_product(b.vec, b.vec))), 6) AS score
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec) /
+      (sqrt(list_dot_product(a.vec, a.vec)) *
+       sqrt(list_dot_product(b.vec, b.vec))) >= {threshold!r}
+"""

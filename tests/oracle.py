@@ -205,3 +205,22 @@ def ref_betweenness(
             if w != s:
                 bc[w] += delta[w]
     return {v: round(bc[v] / 2.0, 6) for v in vertices}
+
+
+def ref_coreness(vertices: list[int], adj: dict[int, list[int]]) -> dict[int, int]:
+    """Exact coreness by min-degree peeling (dedup'd symmetric graph)."""
+    nbrs = {v: set(adj.get(v, [])) - {v} for v in vertices}
+    deg = {v: len(nbrs[v]) for v in vertices}
+    core = dict(deg)
+    remaining = set(vertices)
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.discard(v)
+        for u in nbrs[v]:
+            if u in remaining:
+                deg[u] -= 1
+                nbrs[u].discard(v)
+    return core

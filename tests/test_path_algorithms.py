@@ -152,3 +152,30 @@ def test_weight_agg_policies(spark):
         g = Graph.from_edges(df, weight_col="w", weight_agg=agg, num_partitions=2)
         w = g.edges.where("src = 0 and dst = 1").collect()[0]["weight"]
         assert w == exp, agg
+
+
+def test_coreness_golden(spark):
+    from hugegraph_computer_spark.operators import coreness
+    # K4 (core 3) bridged to a path (core 1)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 10), (10, 11), (11, 12)]
+    g = make_graph(spark, edges)
+    got = df_to_dict(coreness(g), "vid", "coreness")
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_coreness_random_vs_peeling_oracle(spark):
+    from hugegraph_computer_spark.operators import coreness
+    from tests.oracle import ref_coreness
+    edges = random_edges(120, 500, seed=31)
+    g = make_graph(spark, edges, drop_self_loops=True)
+    adj = symmetrize(edges, drop_self_loops=True)
+    got = df_to_dict(coreness(g), "vid", "coreness")
+    assert got == ref_coreness(sorted(adj), adj)
+
+
+def test_coreness_ignores_self_loops(spark):
+    from hugegraph_computer_spark.operators import coreness
+    g = make_graph(spark, [(0, 0), (0, 1), (1, 2), (2, 0)])
+    got = df_to_dict(coreness(g), "vid", "coreness")
+    assert got == {0: 2, 1: 2, 2: 2}
