@@ -112,3 +112,35 @@ def test_checkpoint_every_n(spark, tmp_path):
              checkpoint_every=2)
     steps = sorted(os.listdir(os.path.join(ck, "page_rank")))
     assert steps == ["superstep=0", "superstep=2", "superstep=4"]
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """The small query side must broadcast — at 10^9 corpus vectors the
+    corpus side streams and only the query batch replicates."""
+    from hugegraph_computer_spark.operators.similarity import cosine_topk
+    from hugegraph_computer_spark.plans.checks import assert_broadcast_join
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = cosine_topk(emb, emb.where(F.col("vec_id") < 2), k=3)
+    assert_broadcast_join(q)
+
+
+def test_pagerank_scatter_has_partial_aggregate(spark):
+    """The message combine must partial-aggregate map-side (the reference's
+    send-side combiner) — the plan needs two HashAggregates around the
+    exchange, not a single post-shuffle aggregate."""
+    g = make_graph(spark, random_edges(80, 240, seed=41))
+    adj = g.adjacency()
+    contrib = g.degrees().select("vid", (1.0 / F.greatest("deg", F.lit(1))).alias("contrib"))
+    msgs = (
+        adj.join(contrib, "vid")
+        .select(F.explode("nbrs").alias("dst"), "contrib")
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    plan = explain_str(msgs)
+    pre_exchange = plan.split("Exchange hashpartitioning(dst", 1)[0]
+    assert "HashAggregate" in pre_exchange, plan[:2000]
