@@ -113,7 +113,15 @@ def scatter_sum_flat(joined: DataFrame, max_id: int) -> DataFrame:
     JVM-side against the co-partitioned flat edge table, so Arrow ships two
     primitive columns (no nested lists -> no per-row numpy allocation) and
     the kernel is a single bincount per partition. This is the fast path;
-    the CSR variant remains for chunk-aware processing."""
+    the CSR variant remains for chunk-aware processing.
+
+    Operational note (measured on the 96M-edge bench graph): long
+    multi-superstep runs with >=10M-row partitions need
+    ``spark.python.worker.reuse=false`` — reused Python workers accumulate
+    Arrow-stream memory across supersteps and the whole worker pool
+    eventually dies. Even then the SQL explode+aggregate kernel is ~2.4x
+    faster at this scale (BENCH.md kernel table); these kernels earn their
+    keep only when per-edge Python math is genuinely needed."""
     n = int(max_id) + 1
 
     def kernel(batches):

@@ -78,7 +78,10 @@ def measured_run(cpus: int) -> dict:
 
     spark = get_spark(
         master=f"local[{cpus}]", app_name=f"scaling-{cpus}", shuffle_partitions=cpus,
-        extra_conf={"spark.python.worker.faulthandler.enabled": "true"},
+        extra_conf={
+            "spark.python.worker.faulthandler.enabled": "true",
+            "spark.python.worker.reuse": os.environ.get("SPARK_WORKER_REUSE", "true"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     edges = spark.read.parquet(EDGES_PATH)
