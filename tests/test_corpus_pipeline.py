@@ -117,3 +117,24 @@ def test_cli_runner(spark, tmp_path):
     got = {row["vid"]: row["component"]
            for row in spark.read.parquet(out).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_cli_runner_corpus_path(spark, tmp_path):
+    """CLI over a corpus parquet: extraction + dense ids + repo-name join."""
+    import subprocess, sys
+    corpus = synth_corpus(spark, n_repos=20, files_per_repo=2, seed=13)
+    cpath = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(cpath)
+    out = str(tmp_path / "ranks")
+    r = subprocess.run(
+        [sys.executable, "-m", "hugegraph_computer_spark",
+         "--algorithm", "page_rank", "--corpus", cpath, "--output", out,
+         "--master", "local[2]", "--max-supersteps", "5"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"repo", "rank"}
+    rows = res.collect()
+    assert rows and all(row["repo"].startswith("repo_") for row in rows)
+    assert abs(sum(row["rank"] for row in rows) - 1.0) < 1e-6
