@@ -7,13 +7,15 @@ every implemented operator from SURVEY.md §2 as (spark, sf_dir) -> DataFrame;
 oracles.py) for every SQL-expressible one. Column names and float rounding
 match pairwise so the driver's order-insensitive value hash compares equal.
 
-Entries without an oracle (driver records a rows-only check):
-* simhash / simhash_near_pairs — the 64-bit bit-packing loop is a
-  vectorized pandas UDF; per-bit SQL reconstruction is impractical.
-* corpus_* — run on the deterministic synthetic source-code corpus
-  (BASELINE.json input_hint shape), not on the driver's parquet views.
+The single entry without an oracle (driver records a rows-only check):
 * multimodal_features — mapInPandas over binary payloads with a
-  deterministic fake decoder (no codec libs in this container).
+  deterministic fake decoder (no codec libs in this container; the fake
+  features are sha256+PCG64, not SQL-expressible).
+
+Since round 2, corpus_* ARE oracle-checked (the corpus generator is a
+pure md5 hash, so DuckDB re-derives the exact edge list in SQL —
+oracles.corpus_edges_sql) and simhash is a pure JVM kernel with a
+bit-exact SQL twin.
 """
 
 from __future__ import annotations
@@ -48,9 +50,10 @@ from hugegraph_computer_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from hugegraph_computer_spark.operators.events import sessionize, window_dedup
 from hugegraph_computer_spark.operators.multimodal import extract_features, synth_assets
 from hugegraph_computer_spark.operators.similarity import (
-    _hyperplanes,
+    _plane_tables,
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_topk,
@@ -66,17 +69,25 @@ from hugegraph_computer_spark.sources.extract import corpus_graph
 from hugegraph_computer_spark.sources.tpch_graph import (
     copurchase_edges,
     customer_supplier_edges,
+    customer_supplier_labeled,
     customer_supplier_weighted,
     hierarchy_edges,
+    hierarchy_edges_string_ids,
     nation_same_region_edges,
+    nation_same_region_weighted,
 )
+from hugegraph_computer_spark.graph.graph import dense_ids
 
 PAGERANK_SUPERSTEPS = 6
 LPA_SUPERSTEPS = 10
 TOPK = 10
 N_QUERIES = 8
-IVF_PLANES = 4
+IVF_PLANES = 6
+IVF_TABLES = 4
 EMB_DIM = 64
+CORPUS_REPOS = 200
+CORPUS_FPR = 4
+CORPUS_PR_SUPERSTEPS = 6
 
 
 # ------------------------------------------------------------ graph helpers
@@ -157,6 +168,33 @@ def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vid", F.concat_ws("-", F.col("path")).alias("path_str"))
 
 
+def q_links_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Links with an edge-property predicate — the reference's
+    LinksSpreadFilter property DSL (LinksSpreadFilter.java:66-96) over
+    Graph edge property columns (round-2 feature)."""
+    g = Graph.from_edges(
+        nation_same_region_weighted(spark, sf_dir), weight_col="weight"
+    )
+    out = links(
+        g,
+        start_cond="vid < 5",
+        spread_cond="dst > src AND weight >= 2",
+        end_vertex_cond="vid >= 15",
+    )
+    return out.select("vid", F.concat_ws("-", F.col("path")).alias("path_str"))
+
+
+def q_degree_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE_PER_LABEL edge frequency (EdgeFrequency.java:33-37) through
+    Graph.from_edges: one edge survives per (src, dst, label)."""
+    g = Graph.from_edges(
+        customer_supplier_labeled(spark, sf_dir),
+        label_col="label",
+        edge_freq="single_per_label",
+    )
+    return degree_centrality(g)
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(_cs_graph(spark, sf_dir), sources=16)
 
@@ -166,6 +204,36 @@ def q_betweenness_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkable via the tree closed form."""
     g = Graph.from_edges(hierarchy_edges(spark, sf_dir))
     return betweenness_centrality(g)
+
+
+def q_wcc_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF8 id semantics end to end: variable-width string vertex ids,
+    dense-encoded in SHORTLEX order (the reference's BytesId UTF8 order,
+    BytesUtil.java:50-76), so WCC's min-vid component decodes to the
+    shortlex-min reachable id ('n8', not lexicographic 'n12')."""
+    e = hierarchy_edges_string_ids(spark, sf_dir)
+    ids = dense_ids(
+        e.select(F.col("src_id").alias("r")).unionByName(
+            e.select(F.col("dst_id").alias("r"))
+        ),
+        "r",
+        order="shortlex",
+    )
+    src_ids = ids.select(F.col("orig").alias("src_id"), F.col("vid").alias("src"))
+    dst_ids = ids.select(F.col("orig").alias("dst_id"), F.col("vid").alias("dst"))
+    g = Graph.from_edges(
+        e.join(src_ids, "src_id").join(dst_ids, "dst_id").select("src", "dst")
+    )
+    comp = wcc(g)
+    vid_names = ids.select(F.col("vid"), F.col("orig").alias("id"))
+    comp_names = ids.select(
+        F.col("vid").alias("component"), F.col("orig").alias("component_name")
+    )
+    return (
+        comp.join(vid_names, "vid")
+        .join(comp_names, "component")
+        .select("id", F.col("component_name").alias("component"))
+    )
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +271,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return window_dedup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return cosine_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOPK)
@@ -215,13 +291,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < N_QUERIES),
         k=TOPK,
         n_planes=IVF_PLANES,
+        n_tables=IVF_TABLES,
         dim=EMB_DIM,
     )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.3, n_planes=IVF_PLANES, dim=EMB_DIM
+        _emb(spark, sf_dir),
+        threshold=0.3,
+        n_planes=IVF_PLANES,
+        n_tables=IVF_TABLES,
+        dim=EMB_DIM,
     )
 
 
@@ -232,10 +313,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship north-rule pipeline: synthetic source-code corpus →
-    import-edge extraction (sha256-verified) → dense ids → PageRank."""
-    corpus = synth_corpus(spark, n_repos=200, files_per_repo=4, seed=42)
+    import-edge extraction (sha256-verified) → dense ids → PageRank.
+    Fixed superstep count → DuckDB-unrollable (the generator is a pure md5
+    hash, so the oracle re-derives the exact edge list in SQL)."""
+    corpus = synth_corpus(spark, n_repos=CORPUS_REPOS, files_per_repo=CORPUS_FPR, seed=42)
     g, ids = corpus_graph(corpus)
-    pr = pagerank(g, l1_threshold=1e-6, max_supersteps=10)
+    pr = pagerank(g, l1_threshold=-1.0, max_supersteps=CORPUS_PR_SUPERSTEPS)
     return (
         pr.join(ids, pr["vid"] == ids["vid"])
         .select(ids["orig"].alias("repo"), F.round(pr["rank"], 9).alias("rank"))
@@ -243,7 +326,7 @@ def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = synth_corpus(spark, n_repos=200, files_per_repo=4, seed=42)
+    corpus = synth_corpus(spark, n_repos=CORPUS_REPOS, files_per_repo=CORPUS_FPR, seed=42)
     g, ids = corpus_graph(corpus)
     comp = wcc(g)
     return comp.join(ids, comp["vid"] == ids["vid"]).select(
@@ -256,8 +339,25 @@ def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's canonicalizer sorts/hashes every column in pandas, so
+    the array<float> feature vector is serialized to a scalar signature
+    (md5 of the comma-joined 6-decimal components) — same information,
+    hashable cells."""
     assets = synth_assets(spark, n=64, seed=42)
-    return extract_features(assets, dim=16)
+    feats = extract_features(assets, dim=16)
+    return feats.select(
+        "asset_id",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.format_number(x.cast("double"), 6),
+                ),
+            )
+        ).alias("feature_sig"),
+        F.size("feature").cast("long").alias("dim"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -278,8 +378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": q_closeness,
         "rings_count": q_rings,
         "links": q_links,
+        "links_weighted": q_links_weighted,
+        "degree_per_label": q_degree_per_label,
         "betweenness_centrality": q_betweenness,
         "betweenness_tree": q_betweenness_tree,
+        "wcc_string_ids": q_wcc_string_ids,
         # --- training-data pipeline: dedup ---
         "exact_dedup": q_exact_dedup,
         "minhash_bands": q_minhash_bands,
@@ -291,6 +394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        # --- event stream (sessionization / time-window dedup) ---
+        "sessionize": q_sessionize,
+        "window_dedup": q_window_dedup,
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
@@ -315,20 +421,38 @@ def oracle_sql() -> dict[str, str]:
         "closeness_centrality": oracles.closeness_sql(),
         "rings_count": oracles.rings_count_sql(),
         "links": oracles.links_sql(),
+        "links_weighted": oracles.links_weighted_sql(),
+        "degree_per_label": oracles.degree_per_label_sql(),
+        "betweenness_centrality": oracles.betweenness_sql(n_sources=16),
         "betweenness_tree": oracles.betweenness_tree_sql(),
+        "coreness": oracles.coreness_sql(),
+        "wcc_string_ids": oracles.wcc_string_ids_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(threshold=0.3),
+        "simhash_near_pairs": oracles.simhash_near_pairs_sql(max_hamming=3),
         "token_stats": oracles.token_stats_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),
         "fingerprint": oracles.fingerprint_sql(),
+        "sessionize": oracles.sessionize_sql(),
+        "window_dedup": oracles.window_dedup_sql(),
         "cosine_topk": oracles.cosine_topk_sql(k=TOPK, n_queries=N_QUERIES),
         "ivf_topk": oracles.ivf_topk_sql(
-            _hyperplanes(EMB_DIM, IVF_PLANES), k=TOPK, n_queries=N_QUERIES
+            _plane_tables(EMB_DIM, IVF_PLANES, IVF_TABLES),
+            k=TOPK,
+            n_queries=N_QUERIES,
         ),
         "embedding_near_dup": oracles.embedding_near_dup_sql(
-            _hyperplanes(EMB_DIM, IVF_PLANES), threshold=0.3
+            _plane_tables(EMB_DIM, IVF_PLANES, IVF_TABLES), threshold=0.3
+        ),
+        "corpus_pagerank": oracles.corpus_pagerank_sql(
+            supersteps=CORPUS_PR_SUPERSTEPS,
+            n_repos=CORPUS_REPOS,
+            files_per_repo=CORPUS_FPR,
+        ),
+        "corpus_wcc": oracles.corpus_wcc_sql(
+            n_repos=CORPUS_REPOS, files_per_repo=CORPUS_FPR
         ),
     }

@@ -39,7 +39,14 @@ from hugegraph_computer_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash,
 )
-from hugegraph_computer_spark.operators.similarity import cosine_topk  # noqa: E402
+from hugegraph_computer_spark.operators.events import (  # noqa: E402
+    sessionize,
+    window_dedup,
+)
+from hugegraph_computer_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_topk,
+)
 from hugegraph_computer_spark.operators.text import (  # noqa: E402
     lang_id,
     quality_score,
@@ -114,10 +121,10 @@ def run() -> dict:
         lambda: closeness_centrality(g_cs, sources=32).count(),
     )
     g_cp = Graph.from_edges(copurchase_edges(spark, sf_dir), drop_self_loops=True)
-    timed("triangle_count", lambda: triangle_count(g_cp).count())
+    timed("triangle_count", lambda: triangle_count(g_cp).count())  # oriented default
     timed(
-        "triangle_oriented",
-        lambda: triangle_count(g_cp, algorithm="oriented").count(),
+        "triangle_intersect",
+        lambda: triangle_count(g_cp, algorithm="intersect").count(),
     )
     g_nation = Graph.from_edges(nation_same_region_edges(spark, sf_dir))
     timed("rings_count", lambda: rings_count(g_nation).count())
@@ -134,6 +141,16 @@ def run() -> dict:
         "cosine_topk",
         lambda: cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=10).count(),
     )
+    timed(
+        "ivf_topk_multitable",
+        lambda: ivf_topk(
+            emb, emb.where(F.col("vec_id") < 8), k=10,
+            n_planes=6, n_tables=4, dim=64,
+        ).count(),
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed("sessionize", lambda: sessionize(events).count())
+    timed("window_dedup", lambda: window_dedup(events).count())
 
     spark.stop()
     total = round(sum(timings.values()), 3)

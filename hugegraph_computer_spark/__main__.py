@@ -48,6 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-col", default=None)
     p.add_argument("--sources", type=int, default=None,
                    help="sampled source count (closeness/betweenness)")
+    # Links/Rings condition DSL (SQL boolean exprs over vid / edge columns —
+    # the engine's equivalent of the reference's JSON property-filter DSL,
+    # links/filter/LinksSpreadFilter.java, rings/filter/*).
+    p.add_argument("--start-cond", default=None,
+                   help="links: SQL over vid selecting start vertices (required for links)")
+    p.add_argument("--spread-cond", default=None,
+                   help="links/rings: SQL over edge columns gating each spread")
+    p.add_argument("--end-vertex-cond", default=None,
+                   help="links: SQL over vid; arriving paths are recorded")
+    p.add_argument("--end-edge-cond", default=None,
+                   help="links: SQL over edge columns; matching edges record the path")
     return p
 
 
@@ -62,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.algorithm not in ALGORITHMS:
         print(f"unknown algorithm {args.algorithm!r}; "
               f"one of {sorted(ALGORITHMS)}", file=sys.stderr)
+        return 2
+    if args.algorithm == "links" and args.start_cond is None:
+        print("links requires --start-cond (and optionally --spread-cond/"
+              "--end-vertex-cond/--end-edge-cond)", file=sys.stderr)
         return 2
 
     spark = get_spark(master=args.master, app_name=f"hgc-{args.algorithm}")
@@ -93,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
                   checkpoint_dir=args.checkpoint_dir, resume=args.resume)
     elif args.algorithm == "betweenness_centrality":
         kw = dict(sources=args.sources)
+    elif args.algorithm == "links":
+        kw = dict(start_cond=args.start_cond,
+                  max_supersteps=args.max_supersteps)
+        if args.spread_cond is not None:
+            kw["spread_cond"] = args.spread_cond
+        if args.end_vertex_cond is not None:
+            kw["end_vertex_cond"] = args.end_vertex_cond
+        if args.end_edge_cond is not None:
+            kw["end_edge_cond"] = args.end_edge_cond
+    elif args.algorithm == "rings":
+        kw = dict(max_supersteps=args.max_supersteps)
+        if args.spread_cond is not None:
+            kw["spread_cond"] = args.spread_cond
 
     result = algo(g, **kw)
     if ids is not None:

@@ -24,9 +24,11 @@ What the reference left as a TODO — resume (MasterService.java:213, 316-322)
   with ``localCheckpoint`` instead.
 
 Scale: state snapshots are hash-partitioned parquet; at 10^12-file scale the
-snapshot is an Iceberg table write per superstep (same code path — swap
-``.parquet(path)`` for ``.format("iceberg")``); this sandbox has no Iceberg
-runtime jar, so parquet snapshots stand in, with identical layout semantics.
+snapshot is an Iceberg table write per superstep. The writer is a tested
+FORMAT SEAM (``SuperstepLoop(snapshot_format=...)`` routes every durable
+write/read through ``.format(fmt)``), so Iceberg is a constructor argument
+on a cluster that ships the runtime jar — this sandbox has none, so the
+default "parquet" exercises the identical code path and layout semantics.
 """
 
 from __future__ import annotations
@@ -39,6 +41,23 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the cached blocks behind a ``localCheckpoint``-ed DataFrame.
+
+    ``DataFrame.unpersist`` only clears cache-manager entries, not the
+    internal RDD a local checkpoint pins (verified against
+    ``sc.getPersistentRDDs``); the LogicalRDD's own RDD must be unpersisted.
+    Best-effort — a plan that is not a LogicalRDD is left alone."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 @dataclass
@@ -58,12 +77,21 @@ class SuperstepLoop:
         checkpoint_dir: str | None = None,
         max_supersteps: int = 10,
         checkpoint_every: int = 1,
+        snapshot_format: str = "parquet",
     ):
         self.spark = spark
         self.job_name = job_name
         self.dir = os.path.join(checkpoint_dir, job_name) if checkpoint_dir else None
         self.max_supersteps = max_supersteps
         self.checkpoint_every = max(1, checkpoint_every)
+        # The snapshot writer is a FORMAT SEAM, not a hardcoded call: every
+        # durable write/read goes through .format(snapshot_format) — on a
+        # cluster with the Iceberg runtime jar, snapshot_format="iceberg"
+        # (plus a catalog-qualified path) turns each superstep into an
+        # Iceberg snapshot commit with time-travel, which is the north
+        # rule's lineage story. This sandbox has no Iceberg jar, so the
+        # default (and the tests) exercise the same code path with parquet.
+        self.snapshot_format = snapshot_format
         self.history: list[SuperstepRecord] = []
         self._persisted: list[DataFrame] = []
 
@@ -91,8 +119,8 @@ class SuperstepLoop:
             path = self._step_dir(superstep)
             if os.path.exists(path):
                 shutil.rmtree(path)
-            state.write.mode("overwrite").parquet(path)
-            out = self.spark.read.parquet(path)
+            state.write.mode("overwrite").format(self.snapshot_format).save(path)
+            out = self.spark.read.format(self.snapshot_format).load(path)
             part_counts = [
                 int(r["cnt"])
                 for r in out.groupBy(F.spark_partition_id().alias("pid"))
@@ -108,11 +136,7 @@ class SuperstepLoop:
             out = state.localCheckpoint(eager=True)
             self._persisted.append(out)
             if len(self._persisted) > 2:
-                old = self._persisted.pop(0)
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
+                release_local_checkpoint(self._persisted.pop(0))
         return out
 
     def commit(
@@ -160,17 +184,19 @@ class SuperstepLoop:
             return None
         with open(self._meta_path(best)) as f:
             meta = json.load(f)
-        state = self.spark.read.parquet(self._step_dir(best))
+        state = self.spark.read.format(self.snapshot_format).load(self._step_dir(best))
         aggs = _unjsonable(meta["aggregates"])
         return best, state, aggs
 
-    def cleanup(self) -> None:
-        for df in self._persisted:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        self._persisted.clear()
+    def cleanup(self, keep_last: bool = True) -> None:
+        """Release the loop's pinned checkpoint blocks. The most recent
+        frame is kept by default because operators return DataFrames
+        derived from it (a released local checkpoint cannot recompute);
+        callers that copied their result out pass ``keep_last=False``."""
+        tail = self._persisted[:-1] if keep_last else self._persisted
+        for df in tail:
+            release_local_checkpoint(df)
+        self._persisted = self._persisted[-1:] if keep_last else []
 
 
 def _jsonable(d: dict) -> dict:

@@ -78,56 +78,93 @@ class Graph:
         num_partitions: int | None = None,
         weight_col: str | None = None,
         weight_agg: str = "max",
+        label_col: str | None = None,
+        properties: list[str] | None = None,
+        edge_freq: str | None = None,
     ) -> "Graph":
-        """Build a Graph from a raw (src, dst[, weight]) DataFrame.
+        """Build a Graph from a raw (src, dst[, weight, label, props...])
+        DataFrame.
 
         symmetrize: add the inverse edge for every input edge (reference
-        default, WorkerInputManager.java:104-122).
-        dedup: SINGLE edge frequency — one edge per (src, dst)
-        (EdgeFrequency.java:26-44).
+        default, WorkerInputManager.java:104-122); the inverse copy
+        carries the same weight/label/property values.
+        edge_freq: "single" (one edge per (src,dst)),
+        "single_per_label" (one per (src,dst,label) — requires label_col),
+        or "multiple" (keep all) — EdgeFrequency.java:26-44; the reference
+        default is MULTIPLE, TriangleCount pins SINGLE
+        (TriangleCountParams.java:41-42). When None, derived from the
+        legacy ``dedup`` flag (True → single, False → multiple).
+        label_col: kept on ``edges`` as ``label`` (string) — the edge
+        label the reference's filter DSL predicates over
+        (LinksSpreadFilter.java:66-96).
+        properties: further edge columns kept verbatim on ``edges`` so
+        links/rings spread/end conditions can reference them — the
+        engine's property map (SURVEY.md §1.1).
         vertices: optional (vid) DataFrame; when given, edges referencing
         unknown vertices are dropped (FileGraphPartition.java:314-317) and
         isolated vertices are preserved.
-        weight_agg: how duplicate (src,dst) weights combine under dedup —
-        "max" | "min" | "sum" | "first"(min weight order for determinism) —
-        the engine's analogue of the reference's properties combiners at
+        weight_agg: how duplicate-edge weights combine under dedup —
+        "max" | "min" | "sum" | "first"(min weight order for determinism);
+        other duplicate property/label values combine as per-column MIN —
+        deterministic analogues of the reference's properties combiners at
         ingest (MergeNew/MergeOld/Overwrite, combiner/*.java; applied in
         receiver/vertex/VertexMessageRecvPartition.java:38-70).
         """
+        freq = edge_freq or ("single" if dedup else "multiple")
+        if freq not in ("single", "single_per_label", "multiple"):
+            raise ValueError(f"unknown edge_freq {freq!r}")
+        if freq == "single_per_label" and not label_col:
+            raise ValueError("edge_freq='single_per_label' requires label_col")
+        props = list(properties or [])
         cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
         if weight_col:
             cols.append(F.col(weight_col).cast("double").alias("weight"))
+        if label_col:
+            cols.append(F.col(label_col).cast("string").alias("label"))
+        cols += [F.col(p) for p in props]
         e = edges.select(*cols)
+        extra = (
+            (["weight"] if weight_col else [])
+            + (["label"] if label_col else [])
+            + props
+        )
         if drop_self_loops:
             e = e.where(F.col("src") != F.col("dst"))
         if symmetrize:
-            rev = [F.col("dst").alias("src"), F.col("src").alias("dst")]
-            if weight_col:
-                rev.append(F.col("weight"))
+            rev = [F.col("dst").alias("src"), F.col("src").alias("dst")] + [
+                F.col(c) for c in extra
+            ]
             e = e.unionByName(e.select(*rev))
-        if dedup:
-            # SINGLE frequency: duplicate pairs combine per weight_agg
-            # (the reference keeps whichever survives its sort order; we
-            # pin deterministic rules).
-            if weight_col:
-                aggs = {
+        if freq != "multiple":
+            keys = ["src", "dst"] + (
+                ["label"] if freq == "single_per_label" else []
+            )
+            value_cols = [c for c in extra if c not in keys]
+            if not value_cols:
+                e = e.dropDuplicates(keys)
+            else:
+                aggs = []
+                w_rules = {
                     "max": F.max("weight"),
                     "min": F.min("weight"),
                     "sum": F.sum("weight"),
                     "first": F.min("weight"),
                 }
-                if weight_agg not in aggs:
-                    raise ValueError(f"unknown weight_agg {weight_agg!r}")
-                e = e.groupBy("src", "dst").agg(aggs[weight_agg].alias("weight"))
-            else:
-                e = e.dropDuplicates(["src", "dst"])
+                for c in value_cols:
+                    if c == "weight":
+                        if weight_agg not in w_rules:
+                            raise ValueError(f"unknown weight_agg {weight_agg!r}")
+                        aggs.append(w_rules[weight_agg].alias("weight"))
+                    else:
+                        aggs.append(F.min(c).alias(c))
+                e = e.groupBy(*keys).agg(*aggs).select("src", "dst", *extra)
         if vertices is not None:
             v = vertices.select(F.col(vertices.columns[0]).cast("long").alias("vid"))
             v = v.dropDuplicates(["vid"])
             e = (
                 e.join(v.withColumnRenamed("vid", "src"), "src", "inner")
                 .join(v.withColumnRenamed("vid", "dst"), "dst", "inner")
-                .select(*[c for c in ["src", "dst", "weight"] if c in e.columns])
+                .select("src", "dst", *extra)
             )
         n = num_partitions or e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         n = int(n)
@@ -256,13 +293,19 @@ class Graph:
         self._adj_cache.clear()
 
 
-def dense_ids(df: DataFrame, col: str) -> DataFrame:
+def dense_ids(df: DataFrame, col: str, order: str = "lex") -> DataFrame:
     """Order-preserving dense encoding ``(orig, vid long)``.
 
-    The reference orders ids shortlex over their byte encoding
+    The reference orders ids shortlex over their byte encoding — LENGTH
+    first, then unsigned byte-lexicographic
     (computer-api/.../util/BytesUtil.java:50-76); for MSB varint longs that
-    equals numeric order (SURVEY.md §1.3). We sort distinct keys and assign
-    0..n-1 so that WCC's "min id" stays comparable after encoding.
+    equals numeric order, and for UTF8 ids it is shortlex, NOT plain
+    lexicographic (SURVEY.md §1.3). ``order="shortlex"`` reproduces the
+    UTF8 rule exactly (sort key = (length, value)), so WCC's "min id"
+    component labels translate back to the id the reference would pick
+    even for variable-length string ids. ``order="lex"`` (default) is
+    plain lexicographic — correct for fixed-width keys like the corpus's
+    ``repo_%06d`` names, where the two orders coincide.
 
     Two distributed passes, Arrow end to end (an RDD ``zipWithIndex`` would
     push every row through Python serialization — measured 10x slower at
@@ -275,11 +318,17 @@ def dense_ids(df: DataFrame, col: str) -> DataFrame:
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if order == "shortlex":
+        keys = [F.length(F.col("orig")), F.col("orig")]
+    elif order == "lex":
+        keys = [F.col("orig")]
+    else:
+        raise ValueError(f"unknown order {order!r}")
     distinct = (
         df.select(F.col(col).alias("orig"))
         .dropDuplicates(["orig"])
-        .repartitionByRange(n, "orig")
-        .sortWithinPartitions("orig")
+        .repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
@@ -308,5 +357,9 @@ def dense_ids(df: DataFrame, col: str) -> DataFrame:
             pos += len(pdf)
             yield pd.DataFrame({"orig": pdf["orig"], "vid": list(vids)})
 
-    out = distinct.mapInPandas(assign, schema)
+    # materialize the dictionary eagerly, then release the intermediate
+    # persisted distinct-keys frame (it would otherwise pin cache blocks
+    # for the whole session — VERDICT r1 hygiene item)
+    out = distinct.mapInPandas(assign, schema).localCheckpoint(eager=True)
+    distinct.unpersist()
     return out

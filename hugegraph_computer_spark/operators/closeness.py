@@ -29,7 +29,7 @@ the long format shards it across partitions):
     msgs  = frontier ⋈ edges → (dst, start, dist+w) [dst != start]
             → groupBy(dst, start).min  -- ≡ per-(vertex,start) min-combine
     improved = msgs ⟕ state  where new < settled (or unseen)
-    state = (state \ improved-keys) ∪ improved ; stop when none improved
+    state = (state minus improved-keys) ∪ improved ; stop when none improved
 
 Each superstep is one materialization (Observation carries the improved
 count); snapshots/resume via SuperstepLoop like every other algorithm.

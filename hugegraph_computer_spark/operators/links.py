@@ -22,9 +22,9 @@ cap bounds the flood.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
-from hugegraph_computer_spark.graph.bsp import SuperstepLoop
+from hugegraph_computer_spark.graph.bsp import SuperstepLoop, release_local_checkpoint
 from hugegraph_computer_spark.graph.graph import Graph
 
 
@@ -42,11 +42,15 @@ def links(
     or the source vertex of an end edge — Links.isEndEdgeAndSaveValue)."""
     spark = graph.edges.sparkSession
     loop_paths = SuperstepLoop(spark, f"{job_name}_paths", None, max_supersteps)
-    loop_out = SuperstepLoop(spark, f"{job_name}_out", None, max_supersteps)
     edges = graph.edges
 
+    # Links.compute0 early-returns when vertex.edges().size()==0 BEFORE the
+    # end-vertex check (Links.java compute0), so an isolated start vertex
+    # never records [self]; the semi-join against edge sources replicates
+    # that (matters only when an explicit vertices DF adds isolated ids).
     start = (
         graph.vertices()
+        .join(edges.select(F.col("src").alias("vid")), "vid", "left_semi")
         .where(F.expr(start_cond))
         .select("vid", F.array("vid").alias("path"))
     )
@@ -55,7 +59,9 @@ def links(
     out = start.where(F.expr(end_vertex_cond)).select("vid", "path")
     live = start.where(~F.expr(end_vertex_cond))
 
-    results = loop_out.materialize(0, out)
+    # recorded paths accumulate as per-superstep deltas, unioned once at
+    # the end (same rationale as rings_detection)
+    deltas: list[DataFrame] = [out.localCheckpoint(eager=True)]
     paths = loop_paths.materialize(0, live)
 
     for s in range(1, max_supersteps):
@@ -82,14 +88,21 @@ def links(
         # end-vertex: record at the arriving vertex; others stay live
         vertex_ended = moved.where(F.expr(end_vertex_cond))
         live = moved.where(~F.expr(end_vertex_cond))
-        results = loop_out.materialize(
-            s, results.unionByName(edge_ended).unionByName(vertex_ended)
+        deltas.append(
+            edge_ended.unionByName(vertex_ended).localCheckpoint(eager=True)
         )
-        paths = loop_paths.materialize(s, live)
-        if paths.isEmpty():
+        obs = Observation(f"{job_name}_s{s}")
+        paths = loop_paths.materialize(
+            s, live.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        if int(obs.get["n"] or 0) == 0:
             break
 
-    loop_paths.cleanup()
+    results = spark.createDataFrame([], "vid long, path array<long>")
+    for d in deltas:
+        results = results.unionByName(d)
     out = results.localCheckpoint(eager=True)
-    loop_out.cleanup()
+    for d in deltas:
+        release_local_checkpoint(d)
+    loop_paths.cleanup(keep_last=False)
     return out

@@ -29,9 +29,9 @@ motif-mining graphs and so do we — ``max_ring_length`` caps the walk depth
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
-from hugegraph_computer_spark.graph.bsp import SuperstepLoop
+from hugegraph_computer_spark.graph.bsp import SuperstepLoop, release_local_checkpoint
 from hugegraph_computer_spark.graph.graph import Graph
 
 
@@ -46,11 +46,7 @@ def rings_detection(
     recorded ring, anchored at its minimum vertex, sequence starting and
     ending at that vertex. Use ``rings_count`` for the per-vertex rollup."""
     spark = graph.edges.sparkSession
-    # Two loops = two independent lineage windows: the cumulative rings
-    # union must be materialized each round BEFORE the paths checkpoint it
-    # reads from can be evicted by the paths window.
     loop_paths = SuperstepLoop(spark, f"{job_name}_paths", None, max_supersteps)
-    loop_rings = SuperstepLoop(spark, f"{job_name}_rings", None, max_supersteps)
     # spread_cond ≈ RingsDetectionWithFilter's property-filter DSL
     # (rings/filter/RingsDetectionWithFilter.java): a SQL boolean over the
     # edge columns gating every send, superstep 0 included.
@@ -65,7 +61,12 @@ def rings_detection(
         .select(F.col("dst").alias("cur"), F.array(F.col("src")).alias("seq"))
     )
     paths = loop_paths.materialize(0, paths)
-    rings = spark.createDataFrame([], "vid long, ring array<long>")
+    # Recorded rings accumulate as per-superstep DELTAS, each materialized
+    # exactly once and unioned at the end — O(|results|) total writes, not
+    # the O(S·|results|) of re-materializing a cumulative union per
+    # superstep (each delta's lineage is a filter over the already
+    # checkpointed paths frame, so the final union re-reads nothing).
+    deltas: list[DataFrame] = []
 
     for s in range(1, max_supersteps):
         root = F.element_at("seq", 1)
@@ -77,8 +78,8 @@ def rings_detection(
                 F.col("cur").alias("vid"),
                 F.concat("seq", F.array(F.col("cur"))).alias("ring"),
             )
-        )
-        rings = loop_rings.materialize(s, rings.unionByName(new_rings))
+        ).localCheckpoint(eager=True)
+        deltas.append(new_rings)
 
         fwd = paths.where(
             (F.col("cur") != root) & ~F.array_contains("seq", F.col("cur"))
@@ -90,14 +91,22 @@ def rings_detection(
             .where(F.col("dst") >= F.element_at("seq", 1))
             .select(F.col("dst").alias("cur"), "seq")
         )
-        paths = loop_paths.materialize(s, nxt)
-        if paths.isEmpty():
+        # in-flight row count rides the materialization job (observe fires
+        # on the eager checkpoint) — no separate isEmpty action
+        obs = Observation(f"{job_name}_s{s}")
+        paths = loop_paths.materialize(
+            s, nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        if int(obs.get["n"] or 0) == 0:
             break
 
-    loop_paths.cleanup()
-    # copy the final rings out of the rings window before releasing it
+    rings = spark.createDataFrame([], "vid long, ring array<long>")
+    for d in deltas:
+        rings = rings.unionByName(d)
     out = rings.localCheckpoint(eager=True)
-    loop_rings.cleanup()
+    for d in deltas:
+        release_local_checkpoint(d)
+    loop_paths.cleanup(keep_last=False)
     return out
 
 

@@ -78,13 +78,44 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes (md5-seeded PCG64)."""
-    h = int.from_bytes(hashlib.md5(f"ivf-{seed}".encode()).digest()[:8], "big")
+def _hyperplanes(
+    dim: int, n_planes: int, seed: int = 42, table: int = 0
+) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (md5-seeded PCG64).
+    ``table`` selects an independent hash table (table 0 keeps the round-1
+    seed string for oracle stability)."""
+    key = f"ivf-{seed}" if table == 0 else f"ivf-{seed}-t{table}"
+    h = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
     rng = np.random.Generator(np.random.PCG64(h))
     planes = rng.standard_normal((n_planes, dim))
     planes /= np.linalg.norm(planes, axis=1, keepdims=True)
     return planes.tolist()
+
+
+def _plane_tables(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> list[list[list[float]]]:
+    return [_hyperplanes(dim, n_planes, seed, table=t) for t in range(n_tables)]
+
+
+def lsh_bucket_tables(
+    vec: Column, tables: list[list[list[float]]]
+) -> Column:
+    """``array<struct<tbl long, bucket long>>`` — one sign-pattern bucket
+    per hash table. Exploding this is the multi-table LSH scatter: a pair
+    within angular distance collides in ≥1 table with probability
+    1-(1-p^b)^T, so recall is tuned by (n_planes, n_tables) while bucket
+    population per table stays |corpus| / 2^n_planes in expectation —
+    the fix for the r1 16-bucket quadratic blowup."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("tbl"),
+                lsh_bucket(vec, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -103,34 +134,44 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via LSH bucket pruning + exact re-rank within the
-    query's bucket. Same output schema as cosine_topk; recall < 1 by
-    construction (probe radius 0 — same-bucket only)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Approximate top-k via multi-table LSH bucket pruning + exact
+    re-rank over the deduplicated candidate set. Same output schema as
+    cosine_topk.
+
+    Scale shape (the r2 fix for the 16-bucket r1 default): per-table
+    bucket population is |corpus|/2^n_planes in expectation, so the
+    within-bucket join is (|corpus|/2^n_planes)² per bucket — n_planes
+    bounds the quadratic term; n_tables independent tables recover the
+    recall lost to finer buckets (collision prob 1-(1-p^b)^T). Candidates
+    are deduped on (query, neighbor) BEFORE scoring, so each pair's
+    cosine is computed once no matter how many tables it collides in."""
+    tables = _plane_tables(dim, n_planes, n_tables, seed)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.explode(lsh_bucket_tables(F.col(vec_col), tables)).alias("tb"),
+    ).select("neighbor_id", "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+        F.explode(lsh_bucket_tables(F.col(vec_col), tables)).alias("tb"),
+    ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
-        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -145,7 +186,8 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -155,11 +197,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs ``(id_a, id_b, score)`` with
     cosine >= threshold, id_a < id_b.
 
-    Scale path (default): sign-LSH bucket join prunes candidates before the
-    exact cosine filter — near-identical vectors land in the same bucket
-    with high probability; recall < 1 by construction (tunable via
-    n_planes). ``exact=True`` compares all pairs (quadratic; small data /
-    recall baseline only).
+    Scale path (default): multi-table sign-LSH bucket join prunes
+    candidates before the exact cosine filter — recall 1-(1-p^b)^T where
+    p = 1-θ/π; raise n_planes to shrink buckets (quadratic-term bound),
+    raise n_tables to recover recall (see ivf_topk). Candidate pairs are
+    deduped across tables BEFORE the cosine. ``exact=True`` compares all
+    pairs (quadratic; small data / recall baseline only).
     """
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -170,10 +213,20 @@ def embedding_near_dup_pairs(
     if exact:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        planes = _hyperplanes(dim, n_planes, seed)
-        ab = a.withColumn("bucket", lsh_bucket(F.col("va"), planes))
-        bb = b.withColumn("bucket", lsh_bucket(F.col("vb"), planes))
-        pairs = ab.join(bb, "bucket").where(F.col("id_a") < F.col("id_b"))
+        tables = _plane_tables(dim, n_planes, n_tables, seed)
+        ab = a.select(
+            "id_a", "va",
+            F.explode(lsh_bucket_tables(F.col("va"), tables)).alias("tb"),
+        ).select("id_a", "va", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        bb = b.select(
+            "id_b", "vb",
+            F.explode(lsh_bucket_tables(F.col("vb"), tables)).alias("tb"),
+        ).select("id_b", "vb", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        pairs = (
+            ab.join(bb, ["tbl", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         pairs.select(
             "id_a", "id_b",

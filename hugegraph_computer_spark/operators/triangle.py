@@ -37,19 +37,21 @@ def _undirected(graph: Graph) -> DataFrame:
 
 
 def triangle_count(
-    graph: Graph, job_name: str = "triangle_count", algorithm: str = "intersect"
+    graph: Graph, job_name: str = "triangle_count", algorithm: str = "oriented"
 ) -> DataFrame:
     """Returns ``(vid long, triangles long)`` per vertex (0 if none).
 
+    ``algorithm="oriented"`` (DEFAULT — the scale path): orient every edge
+    from lower to higher (degree, id); each triangle is enumerated exactly
+    once at its lowest-degree corner via a wedge join + closing-edge
+    semi-join, then scattered +1 to all three corners. Work is
+    Σ C(outdeg⁺(u), 2) = O(E^1.5) regardless of hubs — the standard
+    distributed triangle plan; a 10⁶-degree hub never ships its neighbor
+    array anywhere.
     ``algorithm="intersect"`` — per-edge neighbor-set intersection
     (matches the reference's ss2 formula directly); data moved is
-    Σ(|N(u)|+|N(v)|) per edge ≈ Σ deg² — fine for bounded-degree graphs.
-    ``algorithm="oriented"`` — the scale path for skewed graphs: orient
-    every edge from lower to higher (degree, id); each triangle is
-    enumerated exactly once at its lowest-degree corner via a wedge join +
-    closing-edge semi-join, then scattered +1 to all three corners. Work is
-    Σ C(outdeg⁺(u), 2) = O(E^1.5) regardless of hubs — the standard
-    distributed triangle plan. Both return identical counts (tested).
+    Σ(|N(u)|+|N(v)|) per edge ≈ Σ deg² — only for bounded-degree graphs.
+    Both return identical counts (tested).
     """
     if algorithm == "oriented":
         return _triangle_oriented(graph)

@@ -73,6 +73,56 @@ FROM w GROUP BY src
 """
 
 
+def degree_per_label_sql() -> str:
+    """SINGLE_PER_LABEL edge frequency (EdgeFrequency.java:33-37): one
+    edge survives per (src, dst, label); degree counts the symmetrized
+    per-label-deduped adjacency."""
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST({SUPPLIER_OFFSET} + l_suppkey AS BIGINT) AS dst,
+         l_returnflag AS label
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS MATERIALIZED (
+  SELECT src, dst, label FROM e0
+  UNION SELECT dst AS src, src AS dst, label FROM e0
+)
+SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS degree FROM e GROUP BY src
+"""
+
+
+def links_weighted_sql() -> str:
+    """Links with an edge-PROPERTY predicate in the spread condition —
+    the reference's LinksSpreadFilter property DSL
+    (links/filter/LinksSpreadFilter.java:66-96) over the engine's edge
+    property columns: weight = (n1+n2)%7, spread along increasing edges
+    with weight >= 2, end on arrival at vid >= 15."""
+    return """
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst,
+         CAST((a.n_nationkey + b.n_nationkey) % 7 AS DOUBLE) AS weight
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+),
+e AS MATERIALIZED (
+  SELECT src, dst, MIN(weight) AS weight FROM (
+    SELECT src, dst, weight FROM e0
+    UNION ALL SELECT dst AS src, src AS dst, weight FROM e0
+  ) GROUP BY src, dst
+),
+p(cur, path, ended) AS (
+  SELECT vid, [vid], vid >= 15
+  FROM (SELECT DISTINCT src AS vid FROM e) WHERE vid < 5
+  UNION ALL
+  SELECT e.dst, list_append(p.path, e.dst), e.dst >= 15
+  FROM p JOIN e ON p.cur = e.src
+  WHERE NOT p.ended AND e.dst > e.src AND e.weight >= 2
+)
+SELECT cur AS vid, array_to_string(path, '-') AS path_str FROM p WHERE ended
+"""
+
+
 def wcc_sql() -> str:
     # Component label = min vertex id reachable in the symmetric graph —
     # the Wcc.java min-label fixpoint, computed as a reachability closure.
@@ -88,15 +138,32 @@ SELECT vid, MIN(r) AS component FROM reach GROUP BY vid
 """
 
 
-def pagerank_sql(supersteps: int = 6, alpha: float = 0.15, round_to: int = 9) -> str:
+def pagerank_sql(
+    supersteps: int = 6,
+    alpha: float = 0.15,
+    round_to: int = 9,
+    edges_cte: str = EDGES_CS,
+    vertices_cte: str | None = None,
+    final_select: str | None = None,
+) -> str:
     """Unrolled reference PageRank (SURVEY.md §2.12): superstep 0 sets
     rank=1/N; each update computes
     ``((dangling_prev/N + Σ msgs) * (1-alpha) + alpha/N) / cumulative_prev``
     with the PREVIOUS superstep's global aggregates — one CTE pair per
-    superstep."""
+    superstep.
+
+    ``edges_cte`` must define ``e(src, dst)`` (symmetrized, deduped);
+    ``vertices_cte`` optionally defines ``v(vid)`` (default: edge
+    endpoints) — a vertex absent from ``e.src`` is dangling (deg 0), per
+    the reference's numEdges()==0 accounting."""
+    if vertices_cte is None:
+        vertices_cte = "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)"
     parts = [
-        f"WITH {EDGES_CS}",
-        "d AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        f"WITH {edges_cte}",
+        *([vertices_cte] if vertices_cte else []),
+        "dg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        "d AS MATERIALIZED (SELECT v.vid, COALESCE(dg.deg, 0) AS deg "
+        "FROM v LEFT JOIN dg ON v.vid = dg.vid)",
         "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d)",
         "r0 AS MATERIALIZED (SELECT vid, deg, (SELECT 1.0/n FROM nv) AS rank FROM d)",
         "a0 AS MATERIALIZED (SELECT SUM(rank) AS cum, "
@@ -119,10 +186,124 @@ def pagerank_sql(supersteps: int = 6, alpha: float = 0.15, round_to: int = 9) ->
             f"COALESCE(SUM(CASE WHEN deg = 0 THEN rank END), 0.0) AS dang FROM r{c})"
         )
     last = supersteps - 1
-    return (
-        ",\n".join(parts)
-        + f"\nSELECT vid, ROUND(CAST(rank AS DOUBLE), {round_to}) AS rank FROM r{last}"
+    if final_select is None:
+        final_select = (
+            f"SELECT vid, ROUND(CAST(rank AS DOUBLE), {round_to}) AS rank FROM r{last}"
+        )
+    else:
+        final_select = final_select.format(last=last, round_to=round_to)
+    return ",\n".join(parts) + "\n" + final_select
+
+
+def wcc_string_ids_sql() -> str:
+    """WCC over the supplier—nation—region forest with STRING vertex ids;
+    the component label is the SHORTLEX-minimum reachable id — length
+    first, then byte order (BytesUtil.java:50-76) — e.g. 'n8' beats 'n12'.
+    Twin of dense_ids(order='shortlex') + wcc + decode."""
+    return """
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst FROM supplier
+  UNION ALL
+  SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation
+),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),
+reach(vid, r) AS (
+  SELECT vid, vid FROM v
+  UNION
+  SELECT reach.vid, e.dst FROM reach JOIN e ON reach.r = e.src
+)
+SELECT vid AS id, r AS component FROM (
+  SELECT vid, r, ROW_NUMBER() OVER (
+    PARTITION BY vid ORDER BY length(r), r) AS rn
+  FROM reach
+) WHERE rn = 1
+"""
+
+
+def corpus_edges_sql(
+    n_repos: int = 200,
+    files_per_repo: int = 4,
+    mean_imports: int = 4,
+    seed: int = 42,
+) -> str:
+    """SQL twin of sources.corpus.synth_corpus + sources.extract: the
+    corpus generator draws import targets as a PURE md5 HASH of
+    (seed, file index, draw index) with square-law rank bias
+    (corpus.file_row), so DuckDB re-derives the exact repo→repo edge list
+    without ever seeing the corpus: hex(md5) → 60-bit int → 20-bit draw x
+    → target (n_repos·x²)>>40, java files (i%29==7) excluded like the
+    extractor's lang filter, self-imports dropped, DISTINCT at repo level,
+    then symmetrize+dedup (Graph.from_edges). Defines ``e(src,dst)`` and
+    ``v(vid)`` = ALL repos (the dictionary), so import-less repos stay in
+    N exactly like the reference's load-all-vertices input."""
+    n_files = n_repos * files_per_repo
+    mmax = 2 * mean_imports + 1
+    xmod = 1 << 20
+    shift = 40
+    return f"""
+cf AS MATERIALIZED (
+  SELECT i, i // {files_per_repo} AS r,
+         ('0x' || substr(md5('{seed}:m:' || i), 1, 15))::BIGINT % {mmax} AS m
+  FROM range(0, {n_files}) t(i)
+  WHERE i % 29 <> 7
+),
+draws AS MATERIALIZED (
+  SELECT f.r,
+         ('0x' || substr(md5('{seed}:t:' || f.i || ':' || s.j), 1, 15))::BIGINT % {xmod} AS x
+  FROM cf f CROSS JOIN range(0, {mmax}) s(j)
+  WHERE s.j < f.m
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT r AS src, ({n_repos}::BIGINT * x * x) >> {shift} AS dst
+  FROM draws WHERE (({n_repos}::BIGINT * x * x) >> {shift}) <> r
+),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+v AS MATERIALIZED (SELECT i AS vid FROM range(0, {n_repos}) t(i))
+"""
+
+
+def corpus_pagerank_sql(
+    supersteps: int = 6,
+    n_repos: int = 200,
+    files_per_repo: int = 4,
+    mean_imports: int = 4,
+    seed: int = 42,
+    round_to: int = 9,
+) -> str:
+    """Reference PageRank unrolled over the hash-reproduced corpus edges;
+    dense vid == repo number (fixed-width names, order-preserving ids), so
+    the repo name is printf-reconstructed."""
+    return pagerank_sql(
+        supersteps=supersteps,
+        round_to=round_to,
+        edges_cte=corpus_edges_sql(n_repos, files_per_repo, mean_imports, seed),
+        vertices_cte="",  # corpus_edges_sql already defines v (the dictionary)
+        final_select=(
+            "SELECT printf('repo_%06d', vid) AS repo, "
+            "ROUND(CAST(rank AS DOUBLE), {round_to}) AS rank FROM r{last}"
+        ),
     )
+
+
+def corpus_wcc_sql(
+    n_repos: int = 200,
+    files_per_repo: int = 4,
+    mean_imports: int = 4,
+    seed: int = 42,
+) -> str:
+    """Min-id components over the hash-reproduced corpus edges; isolated
+    repos are their own singleton component (vertex set = dictionary)."""
+    return f"""
+WITH RECURSIVE {corpus_edges_sql(n_repos, files_per_repo, mean_imports, seed)},
+reach(vid, r) AS (
+  SELECT vid, vid FROM v
+  UNION
+  SELECT reach.vid, e.dst FROM reach JOIN e ON reach.r = e.src
+)
+SELECT printf('repo_%06d', vid) AS repo, MIN(r) AS component
+FROM reach GROUP BY vid
+"""
 
 
 def lpa_sql(supersteps: int = 10) -> str:
@@ -258,6 +439,52 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
 """
 
 
+def simhash_near_pairs_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    """Twin of operators.dedup.simhash + simhash_near_pairs: token hash =
+    60-bit hex(md5) prefix, per-bit ±1 majority vote, pigeonhole banding,
+    exact Hamming filter. Spark's conv(substr(md5(t),1,15),16,10)::long ==
+    DuckDB's ('0x'||substr(md5(t),1,15))::BIGINT (verified)."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    n_bands = max_hamming + 1
+    base = bits // n_bands
+    spans = [
+        (b * base, base if b < n_bands - 1 else bits - b * base)
+        for b in range(n_bands)
+    ]
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b}::BIGINT AS band, "
+        f"(simhash >> {start}) & {(1 << width) - 1} AS key FROM sig"
+        for b, (start, width) in enumerate(spans)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+hs AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+bitsum AS MATERIALIZED (
+  SELECT doc_id,
+    {votes}
+  FROM hs GROUP BY doc_id
+),
+sig AS MATERIALIZED (SELECT doc_id, {sig} AS simhash FROM bitsum),
+bands AS MATERIALIZED ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def token_stats_sql() -> str:
     return """
 WITH toks AS MATERIALIZED (
@@ -338,6 +565,49 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------------ events
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    """Twin of operators.events.sessionize: lag + running-sum session
+    index over integer epoch-microseconds."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+),
+tagged AS MATERIALIZED (
+  SELECT user_id, ts_us, event_id, value,
+    CASE WHEN ts_us - LAG(ts_us) OVER w > {gap_us} THEN 1 ELSE 0 END AS boundary
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS MATERIALIZED (
+  SELECT user_id, ts_us, event_id, value,
+    CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM tagged
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       ROUND(SUM(value), 6) AS value_sum
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def window_dedup_sql(window_minutes: int = 60) -> str:
+    """Twin of operators.events.window_dedup: min-id survivor per
+    (entity, event_type, tumbling window)."""
+    window_us = window_minutes * 60_000_000
+    return f"""
+SELECT user_id, event_type,
+       epoch_us(ts) // {window_us} AS win,
+       MIN(event_id) AS keep_event_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+FROM events GROUP BY user_id, event_type, epoch_us(ts) // {window_us}
+"""
+
+
 # -------------------------------------------------------------- embeddings
 
 _COS = (
@@ -363,32 +633,44 @@ SELECT query_id, neighbor_id, score FROM (
 """
 
 
+def _bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
 def ivf_topk_sql(
-    planes: list[list[float]], k: int = 10, n_queries: int = 8
+    plane_tables: list[list[list[float]]], k: int = 10, n_queries: int = 8
 ) -> str:
-    """Bucket = sign pattern against the literal hyperplanes (the exact
-    floats the engine uses — operators.similarity._hyperplanes)."""
-
-    def bucket_expr(vec: str) -> str:
-        bits = []
-        for i, p in enumerate(planes):
-            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 "
-                f"THEN {1 << i} ELSE 0 END)"
-            )
-        return "CAST(" + " + ".join(bits) + " AS BIGINT)"
-
+    """Multi-table LSH twin of operators.similarity.ivf_topk: per hash
+    table, bucket = sign pattern against that table's literal hyperplanes
+    (the exact floats the engine uses); candidates = DISTINCT union over
+    tables, then exact cosine re-rank."""
+    vec = "CAST(embedding AS DOUBLE[])"
+    cands = " UNION ".join(
+        f"SELECT q.query_id, q.qv, c.neighbor_id, c.cv "
+        f"FROM c{t} c JOIN q{t} q USING (bucket) "
+        f"WHERE c.neighbor_id <> q.query_id"
+        for t in range(len(plane_tables))
+    )
+    per_table = ",\n".join(
+        f"q{t} AS MATERIALIZED (SELECT vec_id AS query_id, {vec} AS qv, "
+        f"{_bucket_expr(vec, planes)} AS bucket FROM embeddings WHERE vec_id < {n_queries}),\n"
+        f"c{t} AS MATERIALIZED (SELECT vec_id AS neighbor_id, {vec} AS cv, "
+        f"{_bucket_expr(vec, planes)} AS bucket FROM embeddings)"
+        for t, planes in enumerate(plane_tables)
+    )
     return f"""
-WITH q AS MATERIALIZED (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
-                  {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
-           FROM embeddings WHERE vec_id < {n_queries}),
-c AS MATERIALIZED (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
-             {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
-      FROM embeddings),
+WITH {per_table},
+cand AS MATERIALIZED (SELECT DISTINCT query_id, qv, neighbor_id, cv FROM ({cands})),
 s AS MATERIALIZED (
-  SELECT q.query_id, c.neighbor_id, {_COS} AS score
-  FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id
+  SELECT query_id, neighbor_id, {_COS.replace('q.qv', 'qv').replace('c.cv', 'cv')} AS score
+  FROM cand q
 )
 SELECT query_id, neighbor_id, score FROM (
   SELECT *, ROW_NUMBER() OVER (
@@ -480,6 +762,90 @@ SELECT cur AS vid, array_to_string(path, '-') AS path_str FROM p WHERE ended
 """
 
 
+def betweenness_sql(
+    n_sources: int = 16, max_depth: int = 6, round_to: int = 6
+) -> str:
+    """Deterministic sampled Brandes unrolled level by level — the SQL
+    twin of operators.betweenness (same documented deviation from the
+    reference's randomized flood): forward BFS layers carry path counts
+    sigma; the backward sweep computes
+    delta(v) = Σ_w sigma_v/sigma_w · (1+delta_w) per level; betweenness =
+    Σ deltas / 2. ``max_depth`` must exceed the BFS eccentricity of the
+    sampled sources (4 on the sf0.01 customer–supplier graph; levels past
+    the true depth are empty no-ops)."""
+    parts = [
+        f"WITH {EDGES_CS}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        f"srcs AS MATERIALIZED (SELECT vid FROM v ORDER BY vid LIMIT {n_sources})",
+        "l0 AS MATERIALIZED (SELECT vid AS source, vid, CAST(1.0 AS DOUBLE) AS sigma FROM srcs)",
+        "seen0 AS MATERIALIZED (SELECT source, vid FROM l0)",
+    ]
+    for d in range(1, max_depth + 1):
+        p = d - 1
+        parts.append(
+            f"l{d} AS MATERIALIZED (SELECT l.source, e.dst AS vid, SUM(l.sigma) AS sigma "
+            f"FROM l{p} l JOIN e ON l.vid = e.src "
+            f"LEFT JOIN seen{p} s ON s.source = l.source AND s.vid = e.dst "
+            f"WHERE s.vid IS NULL GROUP BY l.source, e.dst)"
+        )
+        parts.append(
+            f"seen{d} AS MATERIALIZED (SELECT * FROM seen{p} "
+            f"UNION ALL SELECT source, vid FROM l{d})"
+        )
+    # backward sweep: delta at the deepest layer is 0
+    parts.append(
+        f"x{max_depth} AS MATERIALIZED "
+        f"(SELECT source, vid, CAST(0.0 AS DOUBLE) AS delta FROM l{max_depth})"
+    )
+    for d in range(max_depth - 1, 0, -1):
+        parts.append(
+            f"x{d} AS MATERIALIZED (SELECT u.source, u.vid, "
+            f"SUM(u.sigma / w.sigma * (1 + COALESCE(dw.delta, 0.0))) AS delta "
+            f"FROM l{d} u JOIN e ON u.vid = e.src "
+            f"JOIN l{d + 1} w ON w.source = u.source AND w.vid = e.dst "
+            f"LEFT JOIN x{d + 1} dw ON dw.source = w.source AND dw.vid = w.vid "
+            f"GROUP BY u.source, u.vid)"
+        )
+    allx = " UNION ALL ".join(
+        f"SELECT vid, delta FROM x{d}" for d in range(1, max_depth)
+    )
+    parts.append(f"acc AS MATERIALIZED (SELECT vid, SUM(delta) AS c FROM ({allx}) GROUP BY vid)")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT v.vid, ROUND(COALESCE(acc.c, 0.0) / 2.0, {round_to}) AS betweenness
+FROM v LEFT JOIN acc ON v.vid = acc.vid
+"""
+    )
+
+
+def coreness_sql(iterations: int = 30) -> str:
+    """Exact k-core via the h-index fixpoint (Lü et al. 2016), unrolled —
+    the SQL twin of operators.kcore: h0 = degree; h_{t+1}(v) =
+    min(h_t(v), H({h_t(u): u∈N(v)})) where the h-index is
+    MAX(LEAST(value, desc-rank)). Monotone non-increasing, so any
+    iteration count ≥ the convergence round yields the exact coreness
+    (30 ≫ the ~6 rounds the sf0.01 co-purchase graph needs)."""
+    parts = [
+        f"WITH {EDGES_COPURCHASE}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "dg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS h FROM e GROUP BY src)",
+        "h0 AS MATERIALIZED (SELECT v.vid, COALESCE(dg.h, 0) AS h FROM v LEFT JOIN dg ON v.vid = dg.vid)",
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT s.vid, LEAST(s.h, COALESCE(c.cand, s.h)) AS h "
+            f"FROM h{p} s LEFT JOIN ("
+            f"SELECT vid, MAX(LEAST(nh, rn)) AS cand FROM ("
+            f"SELECT e.dst AS vid, p.h AS nh, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY p.h DESC) AS rn "
+            f"FROM e JOIN h{p} p ON p.vid = e.src"
+            f") GROUP BY vid) c ON s.vid = c.vid)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vid, h AS coreness FROM h{iterations}"
+
+
 def betweenness_tree_sql() -> str:
     """Exact betweenness on the supplier—nation—region forest via the tree
     closed form: for v in a tree of size t whose removal leaves components
@@ -518,33 +884,31 @@ FROM rsz r
 
 
 def embedding_near_dup_sql(
-    planes: list[list[float]], threshold: float = 0.8
+    plane_tables: list[list[list[float]]], threshold: float = 0.8
 ) -> str:
-    """LSH-bucketed embedding near-dup pairs with exact cosine filter —
-    literal hyperplanes shared with the engine."""
-
-    def bucket_expr(vec: str) -> str:
-        bits = []
-        for i, p in enumerate(planes):
-            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 "
-                f"THEN {1 << i} ELSE 0 END)"
-            )
-        return "CAST(" + " + ".join(bits) + " AS BIGINT)"
-
+    """Multi-table LSH-bucketed embedding near-dup pairs with exact
+    cosine filter — literal hyperplanes shared with the engine; candidate
+    pairs deduped across tables before scoring."""
+    vec = "CAST(embedding AS DOUBLE[])"
+    per_table = ",\n".join(
+        f"v{t} AS MATERIALIZED (SELECT vec_id, {vec} AS vec, "
+        f"{_bucket_expr(vec, planes)} AS bucket FROM embeddings)"
+        for t, planes in enumerate(plane_tables)
+    )
+    cands = " UNION ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.vec AS va, b.vec AS vb "
+        f"FROM v{t} a JOIN v{t} b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        for t in range(len(plane_tables))
+    )
     return f"""
-WITH v AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
-         {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
-  FROM embeddings
-)
-SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.vec, b.vec) /
-             (sqrt(list_dot_product(a.vec, a.vec)) *
-              sqrt(list_dot_product(b.vec, b.vec))), 6) AS score
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.vec, b.vec) /
-      (sqrt(list_dot_product(a.vec, a.vec)) *
-       sqrt(list_dot_product(b.vec, b.vec))) >= {threshold!r}
+WITH {per_table},
+cand AS MATERIALIZED (SELECT DISTINCT id_a, id_b, va, vb FROM ({cands}))
+SELECT id_a, id_b,
+       ROUND(list_dot_product(va, vb) /
+             (sqrt(list_dot_product(va, va)) *
+              sqrt(list_dot_product(vb, vb))), 6) AS score
+FROM cand
+WHERE list_dot_product(va, vb) /
+      (sqrt(list_dot_product(va, va)) *
+       sqrt(list_dot_product(vb, vb))) >= {threshold!r}
 """

@@ -6,18 +6,31 @@ lang string, content string)`` — in production an Iceberg table at
 10^12-file scale; here synthesized deterministically (seeded, no external
 data) at any small scale for tests and benchmarks.
 
-``content`` embeds ``import repo_XXXXXX`` lines; the import targets follow
-a Zipf(a) distribution over repos so the derived link graph has power-law
-in-degree hubs (the skew the north rule requires us to handle explicitly).
-Generation is distributed: the driver broadcasts nothing but scalars; each
-Spark partition generates its id range with a numpy PCG64 stream seeded by
-(seed, partition) — fully reproducible at any parallelism, so the same
-(seed, n_repos, ...) always yields byte-identical content (the per-row
-sha256 invariant in extract.py depends on this).
+``content`` embeds ``import repo_XXXXXX`` lines; the import targets are
+rank-biased toward low repo ids (square-law ≈ Zipf(a=2)) so the derived
+link graph has power-law in-degree hubs (the skew the north rule requires
+us to handle explicitly).
+
+Generation is a PURE HASH FUNCTION of (seed, file index) — no RNG state:
+
+    H(s)      = int(md5(s).hexdigest()[:15], 16)          (60-bit)
+    m_i       = H(f"{seed}:m:{i}") % (2*mean_imports + 1) (mean ≈ mean_imports)
+    x_ij      = H(f"{seed}:t:{i}:{j}") % 2^20
+    target_ij = (n_repos * x_ij * x_ij) >> 40             (square-law bias)
+
+so any partitioning — any cluster size — generates byte-identical rows
+(the per-row sha256 invariant in extract.py depends on this), AND the
+derived edge list is reproducible in ANSI SQL (md5 + integer arithmetic),
+which is what gives corpus_pagerank / corpus_wcc their DuckDB oracles
+(hugegraph_computer_spark.oracles.corpus_edges_sql).
+
+Integer-exactness bound: n_repos * (2^20)^2 must fit in int64 →
+n_repos < 2^23 (≈8.4M repos); asserted.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,26 +48,63 @@ CORPUS_SCHEMA = StructType(
     ]
 )
 
+# 60-bit hash (15 hex chars): portable between Python int, Spark
+# conv(...,16,10)::long and DuckDB ('0x'||...)::BIGINT without sign issues.
+_HEX_CHARS = 15
+_X_BITS = 20  # target-draw resolution; n_repos*x^2 >> 2*_X_BITS stays in int64
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:_HEX_CHARS], 16)
+
+
+def file_row(seed: int, i: int, n_repos: int, files_per_repo: int, mean_imports: int):
+    """Content of global file index ``i`` — pure function, no RNG.
+
+    Returns (repo, path, commit, lang, content). The import targets are
+    ``(n_repos * x² ) >> 40`` for 20-bit draws x — square-law rank bias,
+    integer-exact (reproduced verbatim by oracles.corpus_edges_sql)."""
+    r, k = divmod(i, files_per_repo)
+    repo = f"repo_{r:06d}"
+    path = f"src/mod_{k % 3}/file_{k}.py"
+    lang = "java" if i % 29 == 7 else "python"
+    m = _h60(f"{seed}:m:{i}") % (2 * mean_imports + 1)
+    targets = []
+    for j in range(m):
+        x = _h60(f"{seed}:t:{i}:{j}") % (1 << _X_BITS)
+        t = (n_repos * x * x) >> (2 * _X_BITS)
+        if t != r:
+            targets.append(t)
+    targets = sorted(set(targets))
+    if lang == "python":
+        imports = "\n".join(f"import repo_{t:06d}" for t in targets)
+    else:
+        imports = "\n".join(f"import com.example.repo_{t:06d}.Lib;" for t in targets)
+    body = (
+        f'"""module {repo}/{path}"""\n{imports}\n\n'
+        f"def handler_{k}():\n    return {r * 31 + k}\n"
+    )
+    commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
+    return repo, path, commit, lang, body
+
 
 def synth_corpus(
     spark: SparkSession,
     n_repos: int = 100,
     files_per_repo: int = 5,
     mean_imports: int = 4,
-    zipf_a: float = 2.0,
     seed: int = 42,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Build the corpus DataFrame. Deterministic in all arguments.
 
-    Each file imports ~Poisson(mean_imports) target repos drawn
-    Zipf(zipf_a)-style (rank-biased toward low repo ids → hub vertices).
-    A sprinkle of rows is lang='java' to exercise language filtering in the
-    extractor (those contents contain java-style imports the python
-    extractor must ignore).
+    Each file imports m ∈ [0, 2·mean_imports] target repos (hash-drawn,
+    square-law rank-biased toward low repo ids → hub vertices). A sprinkle
+    of rows is lang='java' to exercise language filtering in the extractor
+    (those contents contain java-style imports the python extractor must
+    ignore).
     """
-    import hashlib
-
+    assert n_repos < (1 << 23), "square-law draw overflows int64 past 2^23 repos"
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -66,62 +116,15 @@ def synth_corpus(
     ]
 
     def gen(iterator: Iterator) -> Iterator[pd.DataFrame]:
-        for pid, lo, hi in iterator:
+        for _pid, lo, hi in iterator:
             if hi <= lo:
                 continue
-            idx = np.arange(lo, hi)
-            repo_i = idx // files_per_repo
-            file_k = idx % files_per_repo
-            rows_repo, rows_path, rows_commit, rows_lang, rows_content = (
-                [],
-                [],
-                [],
-                [],
-                [],
-            )
-            for i, r, k in zip(idx, repo_i, file_k):
-                # seed per FILE, not per partition: content is a pure
-                # function of (seed, file index) so any partitioning — any
-                # cluster size — generates byte-identical rows (the sha256
-                # invariant depends on this).
-                rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + int(i)))
-                repo = f"repo_{r:06d}"
-                path = f"src/mod_{k % 3}/file_{k}.py"
-                lang = "java" if (r * files_per_repo + k) % 29 == 7 else "python"
-                m = int(rng.poisson(mean_imports))
-                # Zipf-ish rank-biased targets in [0, n_repos), excluding self
-                if m > 0:
-                    u = rng.random(m)
-                    targets = np.unique(
-                        (n_repos * u ** zipf_a).astype("int64") % n_repos
-                    )
-                    targets = targets[targets != r]
-                else:
-                    targets = np.empty(0, dtype="int64")
-                if lang == "python":
-                    imports = "\n".join(f"import repo_{t:06d}" for t in targets)
-                else:
-                    imports = "\n".join(
-                        f"import com.example.repo_{t:06d}.Lib;" for t in targets
-                    )
-                body = (
-                    f'"""module {repo}/{path}"""\n{imports}\n\n'
-                    f"def handler_{k}():\n    return {int(r) * 31 + int(k)}\n"
-                )
-                commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
-                rows_repo.append(repo)
-                rows_path.append(path)
-                rows_commit.append(commit)
-                rows_lang.append(lang)
-                rows_content.append(body)
+            rows = [
+                file_row(seed, i, n_repos, files_per_repo, mean_imports)
+                for i in range(lo, hi)
+            ]
             yield pd.DataFrame(
-                {
-                    "repo": rows_repo,
-                    "path": rows_path,
-                    "commit": rows_commit,
-                    "lang": rows_lang,
-                    "content": rows_content,
-                }
+                rows, columns=["repo", "path", "commit", "lang", "content"]
             )
 
     part_df = spark.createDataFrame(parts, "pid int, lo long, hi long").repartition(

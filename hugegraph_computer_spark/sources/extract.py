@@ -96,16 +96,21 @@ def corpus_graph(
     ids (BytesUtil.java:50-76; all our repo names are fixed-width).
     """
     e = extract_edges(corpus, lang)
-    ids = dense_ids(
-        e.select(F.col("src_repo").alias("r")).unionByName(
-            e.select(F.col("dst_repo").alias("r"))
-        ),
-        "r",
-    ).persist()
+    # Vertex set = the REPO DICTIONARY, not just edge endpoints — the
+    # reference loads all vertices before merging edges
+    # (WorkerInputManager.loadGraph:91-97), so an import-less, never-
+    # imported repo still participates (PageRank mass over the true N,
+    # WCC singleton components). dense_ids output is an eager local
+    # checkpoint (no pinned intermediate cache).
+    ids = dense_ids(corpus.select(F.col("repo").alias("r")), "r")
     src_ids = ids.select(F.col("orig").alias("src_repo"), F.col("vid").alias("src"))
     dst_ids = ids.select(F.col("orig").alias("dst_repo"), F.col("vid").alias("dst"))
     edges = e.join(src_ids, "src_repo").join(dst_ids, "dst_repo").select("src", "dst")
     g = Graph.from_edges(
-        edges, symmetrize=symmetrize, dedup=True, num_partitions=num_partitions
+        edges,
+        symmetrize=symmetrize,
+        dedup=True,
+        vertices=ids.select("vid"),
+        num_partitions=num_partitions,
     )
     return g, ids

@@ -92,8 +92,55 @@ def nation_same_region_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_supplier_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src=o_custkey, dst=SUPPLIER_OFFSET+l_suppkey, label=l_returnflag),
+    NOT deduplicated — feeds Graph.from_edges(edge_freq='single_per_label')
+    to exercise the reference's SINGLE_PER_LABEL edge frequency
+    (EdgeFrequency.java:33-37): one edge survives per (src, dst, label)."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).cast("long").alias("dst"),
+            F.col("l_returnflag").alias("label"),
+        )
+    )
+
+
+def nation_same_region_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation clique edges with a deterministic per-edge property
+    ``weight = (n1 + n2) % 7`` — a stand-in edge property (expressible in
+    the DuckDB oracle) for the links/rings property-predicate DSL."""
+    e = nation_same_region_edges(spark, sf_dir)
+    return e.select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7).cast("double").alias("weight")
+    )
+
+
 NATION_OFFSET = 100
 SUPPLIER_TREE_OFFSET = 200
+
+
+def hierarchy_edges_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier—nation—region forest with STRING vertex ids
+    ('s<k>', 'n<k>', 'r<k>', variable width) — exercises the reference's
+    UTF8 id semantics: BytesId orders shortlex (length first, then bytes —
+    BytesUtil.java:50-76), so e.g. 'n8' < 'n12' even though plain
+    lexicographic order says otherwise. WCC's min-id component label
+    depends on this."""
+    sup = _read(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src_id"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst_id"),
+    )
+    nat = _read(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst_id"),
+    )
+    return sup.unionByName(nat)
 
 
 def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,3 +128,28 @@ def test_mega_hub_skew_pagerank_and_wcc(spark):
     for v in (0, 1, 20_001, 20_025):
         assert pr[v] == pytest.approx(exp[v], abs=1e-9)
     assert df_to_dict(wcc(g), "vid", "component") == ref_wcc(vs, adjacency)
+
+
+def test_mega_hub_triangle_default_plan_has_no_neighbor_arrays(spark):
+    """The DEFAULT triangle plan must survive a 20k-degree hub: the
+    oriented variant never materializes per-vertex neighbor arrays (the
+    intersect variant ships Σdeg² array bytes through its join — the
+    r1 scale-killer). Assert the default plan contains NO collect_set /
+    array_intersect, and that counts stay exact on the skewed graph."""
+    from hugegraph_computer_spark.operators.triangle import triangle_count
+
+    hub_edges = [(0, i) for i in range(1, 20_001)]
+    # a few triangles through the hub and in the tail
+    tris = [(1, 2), (3, 4), (20_001, 20_002), (20_001, 20_003), (20_002, 20_003)]
+    g = Graph.from_edges(
+        spark.createDataFrame(hub_edges + tris, "src long, dst long"),
+        num_partitions=8,
+    )
+    tc = triangle_count(g)  # default algorithm
+    plan = tc._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "array_intersect" not in plan
+    counts = {r["vid"]: r["triangles"] for r in tc.collect()}
+    assert counts[0] == 2          # hub closes (1,2) and (3,4)
+    assert counts[1] == counts[2] == counts[3] == counts[4] == 1
+    assert counts[20_001] == counts[20_002] == counts[20_003] == 1
+    assert counts[5] == 0

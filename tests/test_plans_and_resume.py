@@ -144,3 +144,25 @@ def test_pagerank_scatter_has_partial_aggregate(spark):
     plan = explain_str(msgs)
     pre_exchange = plan.split("Exchange hashpartitioning(dst", 1)[0]
     assert "HashAggregate" in pre_exchange, plan[:2000]
+
+
+def test_snapshot_format_seam(spark, tmp_path):
+    """The durable snapshot writer is a format seam: an explicit
+    snapshot_format routes write+read+resume through .format(fmt) (Iceberg
+    on a cluster with the runtime jar; parquet here), and an unknown
+    format fails AT the seam — proving nothing bypasses it."""
+    from hugegraph_computer_spark.graph.bsp import SuperstepLoop
+
+    loop = SuperstepLoop(
+        spark, "seam", str(tmp_path), max_supersteps=3, snapshot_format="parquet"
+    )
+    df = spark.range(10).select(F.col("id").alias("vid"))
+    loop.save(0, df, {"a": 1})
+    s, state, aggs = loop.resume()
+    assert s == 0 and state.count() == 10 and aggs == {"a": 1}
+
+    bogus = SuperstepLoop(
+        spark, "seam2", str(tmp_path), max_supersteps=3, snapshot_format="no-such-fmt"
+    )
+    with pytest.raises(Exception):
+        bogus.save(0, df, {})

@@ -1,0 +1,285 @@
+"""Round-2 feature tests: edge properties/labels through Graph, multi-table
+LSH recall, event-stream operators, checkpoint hygiene, simhash banding
+completeness, corpus vertex completeness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hugegraph_computer_spark.graph.graph import Graph
+from hugegraph_computer_spark.operators import degree_centrality, links, wcc, pagerank
+from hugegraph_computer_spark.operators.dedup import simhash, simhash_near_pairs
+from hugegraph_computer_spark.operators.events import sessionize, window_dedup
+from hugegraph_computer_spark.operators.kcore import coreness
+from hugegraph_computer_spark.operators.rings import rings_detection
+from hugegraph_computer_spark.operators.similarity import (
+    _plane_tables,
+    embedding_near_dup_pairs,
+    lsh_bucket,
+)
+from hugegraph_computer_spark.sources.extract import corpus_graph
+
+
+# ------------------------------------------------- edge properties / labels
+def test_single_per_label_edge_freq(spark):
+    # duplicate (src,dst) pairs under two labels: SINGLE collapses to one
+    # edge, SINGLE_PER_LABEL keeps one per label (EdgeFrequency.java:33-37)
+    rows = [(1, 2, "a"), (1, 2, "a"), (1, 2, "b"), (2, 3, "a")]
+    e = spark.createDataFrame(rows, "src long, dst long, label string")
+    g_single = Graph.from_edges(e, label_col="label", edge_freq="single")
+    g_perlab = Graph.from_edges(e, label_col="label", edge_freq="single_per_label")
+    deg_s = {r["vid"]: r["degree"] for r in degree_centrality(g_single).collect()}
+    deg_l = {r["vid"]: r["degree"] for r in degree_centrality(g_perlab).collect()}
+    assert deg_s == {1: 1.0, 2: 2.0, 3: 1.0}
+    assert deg_l == {1: 2.0, 2: 3.0, 3: 1.0}  # (1,2,a) and (1,2,b) both kept
+
+
+def test_single_per_label_requires_label(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        Graph.from_edges(e, edge_freq="single_per_label")
+
+
+def test_links_filters_on_edge_property(spark):
+    # path 1-2-3-4 with weights; spread requires w >= 5 so the 3->4 hop
+    # (w=1) is blocked: only the path reaching 3 is recorded
+    rows = [(1, 2, 9.0), (2, 3, 7.0), (3, 4, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    g = Graph.from_edges(e, properties=["w"])
+    out = links(
+        g,
+        start_cond="vid = 1",
+        spread_cond="dst > src AND w >= 5",
+        end_vertex_cond="vid >= 3",
+    )
+    got = {(r["vid"], tuple(r["path"])) for r in out.collect()}
+    assert got == {(3, (1, 2, 3))}
+
+
+def test_rings_spread_cond_on_property(spark):
+    # triangle 1-2-3 all weight 1 except edge (1,3) weight 9; excluding
+    # w >= 5 removes the closing edge -> no rings survive except 2-cycles
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 9.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    g = Graph.from_edges(e, properties=["w"])
+    all_rings = rings_detection(g).count()
+    few_rings = rings_detection(g, spread_cond="w < 5").count()
+    assert few_rings < all_rings
+
+
+# ------------------------------------------------------- multi-table LSH
+def test_multi_table_lsh_recall_and_bucket_bound(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 64))
+    vecs, pairs = [], set()
+    for i, b in enumerate(base):
+        vecs.append(b)
+    n = len(vecs)
+    # 40 perturbed near-dups (cos >= ~0.95)
+    for i, b in enumerate(base):
+        v = b + 0.12 * rng.standard_normal(64)
+        vecs.append(v)
+        pairs.add((i, n + i))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9, exact=True).collect()
+    }
+    assert pairs <= exact
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, n_planes=8, n_tables=8, dim=64
+        ).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, n_planes=8, n_tables=1, dim=64
+        ).collect()
+    }
+    recall_multi = len(multi & exact) / len(exact)
+    recall_single = len(single & exact) / len(exact)
+    assert recall_multi >= 0.9
+    assert recall_multi >= recall_single
+    # bucket-size bound: with 8 planes no single bucket swallows the set
+    planes = _plane_tables(64, 8, 1)[0]
+    counts = (
+        df.select(lsh_bucket(F.col("embedding"), planes).alias("b"))
+        .groupBy("b")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert counts <= len(vecs) // 2
+
+
+# --------------------------------------------------------------- events
+def test_sessionize_gap_semantics(spark):
+    us = 60_000_000
+    rows = [
+        # user 1: events at t=0, 10min, 50min (gap 40 > 30 -> new session)
+        (1, 1, "1970-01-01 00:00:00", 1.0),
+        (2, 1, "1970-01-01 00:10:00", 2.0),
+        (3, 1, "1970-01-01 00:50:00", 4.0),
+        # user 2: single event
+        (4, 2, "1970-01-01 01:00:00", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double"
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value",
+    )
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["value_sum"], r["start_us"])
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert out == {
+        (1, 0): (2, 3.0, 0),
+        (1, 1): (1, 4.0, 50 * us),
+        (2, 0): (1, 8.0, 60 * us),
+    }
+
+
+def test_window_dedup_min_survivor(spark):
+    rows = [
+        (5, 1, "1970-01-01 00:10:00", "click"),
+        (3, 1, "1970-01-01 00:20:00", "click"),   # same hour window
+        (9, 1, "1970-01-01 01:20:00", "click"),   # next window
+        (7, 1, "1970-01-01 00:30:00", "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type",
+    )
+    out = {
+        (r["user_id"], r["event_type"], r["win"]): (r["keep_event_id"], r["n_dups"])
+        for r in window_dedup(ev, window_minutes=60).collect()
+    }
+    assert out == {
+        (1, "click", 0): (3, 1),
+        (1, "click", 1): (9, 0),
+        (1, "view", 0): (7, 0),
+    }
+
+
+# ------------------------------------------------------ checkpoint hygiene
+def _pinned(spark) -> int:
+    return len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+
+
+def test_operators_release_checkpoints(spark):
+    edges = [(i, i + 1) for i in range(30)] + [(30, 0), (0, 15)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    before = _pinned(spark)
+    from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
+
+    res = betweenness_centrality(g, sources=4)
+    res.count()
+    # only the returned result frame may stay pinned
+    assert _pinned(spark) <= before + 1
+    cor = coreness(g)
+    cor.count()
+    assert _pinned(spark) <= before + 3  # + coreness final state (+adjacency)
+    g.unpersist()
+
+
+# ------------------------------------------------- simhash banding coverage
+def test_simhash_banding_complete_for_nondivisor_radius(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappax",
+        "alpha beta gamma delta epsilon zeta eta thetax iotax kappax",
+        "one two three four five six seven eight nine ten",
+    ]
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    for radius in (3, 6, 7):  # 7 bands / 8 bands don't divide 60
+        expect = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= radius
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_near_pairs(d, max_hamming=radius).collect()
+        }
+        assert got == expect, f"radius={radius}"
+
+
+# ------------------------------------------- corpus vertex completeness
+def test_corpus_graph_keeps_isolated_repos(spark):
+    rows = [
+        ("repo_a", "a.py", "c1", "python", "import repo_b\n"),
+        ("repo_b", "b.py", "c2", "python", "x = 1\n"),
+        ("repo_c", "c.py", "c3", "python", "y = 2\n"),  # isolated
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    # relax the extractor's repo_\d{6} regex by renaming repos to the
+    # canonical shape
+    canon = {"repo_a": "repo_000000", "repo_b": "repo_000001", "repo_c": "repo_000002"}
+    corpus = corpus.replace(canon, subset=["repo"]).withColumn(
+        "content", F.regexp_replace("content", "repo_b", "repo_000001")
+    )
+    g, ids = corpus_graph(corpus)
+    assert g.num_vertices() == 3  # isolated repo_000002 retained
+    comp = {r["vid"]: r["component"] for r in wcc(g).collect()}
+    assert comp[2] == 2  # singleton component
+    pr = pagerank(g, l1_threshold=-1.0, max_supersteps=4)
+    ranks = {r["vid"]: r["rank"] for r in pr.collect()}
+    assert set(ranks) == {0, 1, 2} and ranks[2] > 0
+
+
+# ----------------------------------------------------- shortlex UTF8 ids
+def test_dense_ids_shortlex_vs_lex(spark):
+    from hugegraph_computer_spark.graph.graph import dense_ids
+
+    d = spark.createDataFrame([("n12",), ("n8",), ("n9",), ("n100",)], "r string")
+    shortlex = {r["orig"]: r["vid"] for r in dense_ids(d, "r", order="shortlex").collect()}
+    lex = {r["orig"]: r["vid"] for r in dense_ids(d, "r", order="lex").collect()}
+    # shortlex: length first (BytesUtil.java:50-76) -> n8 < n9 < n12 < n100
+    assert shortlex == {"n8": 0, "n9": 1, "n12": 2, "n100": 3}
+    # plain lexicographic: n100 < n12 < n8 < n9 (differs!)
+    assert lex == {"n100": 0, "n12": 1, "n8": 2, "n9": 3}
+
+
+def test_wcc_string_ids_shortlex_component_label(spark):
+    from hugegraph_computer_spark.graph.graph import dense_ids
+
+    # one component {n8, n12, n30}: shortlex min = n8; plain lex would
+    # pick n12 — the reference's BytesId UTF8 rule decides the label
+    e = spark.createDataFrame(
+        [("n12", "n8"), ("n8", "n30")], "src_id string, dst_id string"
+    )
+    ids = dense_ids(
+        e.select(F.col("src_id").alias("r")).unionByName(
+            e.select(F.col("dst_id").alias("r"))
+        ),
+        "r",
+        order="shortlex",
+    )
+    src_ids = ids.select(F.col("orig").alias("src_id"), F.col("vid").alias("src"))
+    dst_ids = ids.select(F.col("orig").alias("dst_id"), F.col("vid").alias("dst"))
+    g = Graph.from_edges(e.join(src_ids, "src_id").join(dst_ids, "dst_id").select("src", "dst"))
+    comp = wcc(g)
+    names = ids.select("vid", F.col("orig").alias("name"))
+    comp_name = {
+        r["name"]
+        for r in comp.join(
+            ids.select(F.col("vid").alias("component"), F.col("orig").alias("cn")),
+            "component",
+        ).join(names, "vid").select(F.col("cn").alias("name")).collect()
+    }
+    assert comp_name == {"n8"}
