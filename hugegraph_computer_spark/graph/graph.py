@@ -42,7 +42,56 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The reference's closed value type system (ValueType.java:27-41):
+# NULL/BOOLEAN/INT/LONG/FLOAT/DOUBLE/STRING plus ID lists (arrays).
+# HugeConverter.convertValue (computer-core/.../input/HugeConverter.java)
+# coerces Boolean/Integer/Long/Float/Double/String/Collection and THROWS
+# for anything else — no decimals, timestamps, maps, or structs.
+_CLOSED_TYPES: tuple[type, ...] = (
+    BooleanType,
+    IntegerType,
+    LongType,
+    FloatType,
+    DoubleType,
+    StringType,
+)
+_WIDEN: dict[type, DataType] = {ByteType: IntegerType(), ShortType: IntegerType()}
+
+
+def coerce_property_type(dt: DataType, col_name: str) -> DataType | None:
+    """HugeConverter parity: return the coerced Spark type for a property
+    column, or None if it is already in the closed set; raise for types
+    the reference's converter rejects (HugeConverter.convertValue throws
+    ComputerException for unsupported classes)."""
+    if isinstance(dt, _CLOSED_TYPES):
+        return None
+    for narrow, wide in _WIDEN.items():
+        if isinstance(dt, narrow):
+            return wide
+    if isinstance(dt, ArrayType):
+        inner = coerce_property_type(dt.elementType, col_name)
+        return None if inner is None else ArrayType(inner, dt.containsNull)
+    raise ValueError(
+        f"property column {col_name!r} has type {dt.simpleString()} outside "
+        "the engine's closed value type system (bool/int/long/float/double/"
+        "string/array thereof — ValueType.java:27-41; HugeConverter throws "
+        "for anything else)"
+    )
 
 # Reference default: input.max_edges_in_one_vertex = 200
 # (ComputerOptions.java:168-175). We default higher: a Spark row holding a
@@ -121,7 +170,12 @@ class Graph:
             cols.append(F.col(weight_col).cast("double").alias("weight"))
         if label_col:
             cols.append(F.col(label_col).cast("string").alias("label"))
-        cols += [F.col(p) for p in props]
+        # property columns pass through HugeConverter-parity coercion:
+        # closed-set types unchanged, byte/short widened to int, anything
+        # else (decimal/timestamp/map/struct) rejected like the reference
+        for p in props:
+            coerced = coerce_property_type(edges.schema[p].dataType, p)
+            cols.append(F.col(p).cast(coerced) if coerced is not None else F.col(p))
         e = edges.select(*cols)
         extra = (
             (["weight"] if weight_col else [])

@@ -49,6 +49,7 @@ def closeness_centrality(
     graph: Graph,
     sources: DataFrame | int | None = None,
     weighted: bool = False,
+    sample_rate: float = 1.0,
     max_supersteps: int = 20,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
@@ -61,6 +62,16 @@ def closeness_centrality(
     ``sources``: None = all vertices (reference default, O(V^2) state —
     small graphs only); int k = the k smallest vertex ids (deterministic
     sampling, the scale path); DataFrame = explicit (vid) source set.
+
+    ``sample_rate`` < 1.0 reproduces the reference's per-message spread
+    sampling (ClosenessCentrality.sample:152-155, ``Math.random() <=
+    rate`` gating each forward) DETERMINISTICALLY: a message (src→dst for
+    start at superstep s) is forwarded iff
+    ``pmod(xxhash64(src,dst,start,s), 10^6) < rate·10^6`` — same
+    approximate-BFS semantics, reproducible across runs/partitionings.
+    Results are then an approximation (distances can only be
+    overestimated/missed, closeness underestimated), exactly like the
+    reference's sampled mode.
     """
     spark = graph.edges.sparkSession
     loop = SuperstepLoop(spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every)
@@ -111,9 +122,17 @@ def closeness_centrality(
     for s in range(start, max_supersteps):
         t0 = time.time()
         frontier = state.where("fresh").select("vid", "start", "dist")
+        scatter = frontier.join(edges, frontier["vid"] == edges["src"]).where(
+            F.col("dst") != F.col("start")
+        )
+        if sample_rate < 1.0:
+            gate = F.pmod(
+                F.xxhash64(F.col("src"), F.col("dst"), F.col("start"), F.lit(s)),
+                F.lit(1_000_000),
+            )
+            scatter = scatter.where(gate < F.lit(int(sample_rate * 1_000_000)))
         cand = (
-            frontier.join(edges, frontier["vid"] == edges["src"])
-            .where(F.col("dst") != F.col("start"))
+            scatter
             .select(
                 F.col("dst").alias("vid"),
                 F.col("start"),

@@ -69,17 +69,29 @@ def derived_files(corpus: DataFrame, lang: str = "python") -> DataFrame:
 def assert_content_integrity(corpus: DataFrame, derived: DataFrame) -> int:
     """Every derived row's content_sha must equal sha2 of the source row's
     content (join on (repo, path, commit)). Returns the number of verified
-    rows; raises on any mismatch or missing row."""
+    rows; raises on any mismatch or missing row.
+
+    ONE pass: total and violation counts come from a single aggregate, so
+    the derived side's pandas-UDF extraction and both sha256 scans run
+    once, not twice (halves the verify phase at 10^6+ files)."""
     src = corpus.select(
         "repo", "path", "commit", F.sha2("content", 256).alias("src_sha")
     )
     joined = derived.join(src, ["repo", "path", "commit"], "left")
-    bad = joined.where(
-        F.col("src_sha").isNull() | (F.col("src_sha") != F.col("content_sha"))
-    ).count()
-    if bad:
-        raise AssertionError(f"content sha256 invariant violated on {bad} rows")
-    return joined.count()
+    row = joined.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            (
+                F.col("src_sha").isNull()
+                | (F.col("src_sha") != F.col("content_sha"))
+            ).cast("long")
+        ).alias("bad"),
+    ).collect()[0]
+    if int(row["bad"] or 0):
+        raise AssertionError(
+            f"content sha256 invariant violated on {int(row['bad'])} rows"
+        )
+    return int(row["total"])
 
 
 def corpus_graph(

@@ -283,3 +283,54 @@ def test_wcc_string_ids_shortlex_component_label(spark):
         ).join(names, "vid").select(F.col("cn").alias("name")).collect()
     }
     assert comp_name == {"n8"}
+
+
+# --------------------------------------------- HugeConverter type coercion
+def test_property_type_coercion_closed_set(spark):
+    from pyspark.sql.types import IntegerType
+    from hugegraph_computer_spark.graph.graph import coerce_property_type
+
+    rows = [(1, 2, 3, True, "x", [1.5])]
+    e = spark.createDataFrame(
+        rows, "src long, dst long, n tinyint, flag boolean, s string, arr array<double>"
+    )
+    g = Graph.from_edges(e, properties=["n", "flag", "s", "arr"])
+    schema = {f.name: f.dataType for f in g.edges.schema.fields}
+    assert isinstance(schema["n"], IntegerType)  # tinyint widened like Integer
+    # closed-set columns pass through
+    assert schema["flag"].simpleString() == "boolean"
+    assert schema["arr"].simpleString() == "array<double>"
+    # unsupported types throw like HugeConverter.convertValue
+    bad = spark.createDataFrame(
+        [(1, 2, {"k": "v"})], "src long, dst long, m map<string,string>"
+    )
+    with pytest.raises(ValueError, match="closed value type system"):
+        Graph.from_edges(bad, properties=["m"])
+    with pytest.raises(ValueError, match="closed value type system"):
+        coerce_property_type(
+            spark.createDataFrame([("2024-01-01",)], "d string")
+            .select(F.col("d").cast("date"))
+            .schema["d"].dataType,
+            "d",
+        )
+
+
+# --------------------------------------- closeness spread-sampling knob
+def test_closeness_sample_rate_underestimates(spark):
+    from hugegraph_computer_spark.operators import closeness_centrality
+
+    # path graph 0-1-2-...-9: full run yields exact closeness; sampled
+    # forwarding can only miss/lengthen paths -> closeness <= exact, and
+    # the run is deterministic (same hash gates) across invocations
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    g = Graph.from_edges(e)
+    exact = {r["vid"]: r["closeness"] for r in closeness_centrality(g).collect()}
+    s1 = {r["vid"]: r["closeness"]
+          for r in closeness_centrality(g, sample_rate=0.5, job_name="cs_a").collect()}
+    s2 = {r["vid"]: r["closeness"]
+          for r in closeness_centrality(g, sample_rate=0.5, job_name="cs_b").collect()}
+    assert s1 == s2  # deterministic sampling
+    assert all(s1[v] <= exact[v] + 1e-9 for v in exact)
+    assert any(s1[v] < exact[v] for v in exact)  # actually sampled
