@@ -141,16 +141,21 @@ def closeness_centrality(
             .groupBy("vid", "start")
             .agg(F.min("nd").alias("nd"))
         )
-        settled = state.select("vid", "start", F.col("dist").alias("old"))
-        improved = (
-            cand.join(settled, ["vid", "start"], "left")
-            .where(F.col("old").isNull() | (F.col("nd") < F.col("old")))
-            .select("vid", "start", F.col("nd").alias("dist"), F.lit(True).alias("fresh"))
+        # ONE full-outer merge of settled state with candidate minima
+        # (was: cand⋈settled filter + state anti-join + union — two extra
+        # passes over the O(k·V) state per superstep). least() skips
+        # nulls, so state-only rows keep dist and cand-only rows adopt nd.
+        merged = state.select("vid", "start", "dist").join(
+            cand, ["vid", "start"], "full_outer"
         )
-        new_state = (
-            state.select("vid", "start", "dist", F.lit(False).alias("fresh"))
-            .join(improved.select("vid", "start"), ["vid", "start"], "left_anti")
-            .unionByName(improved)
+        new_state = merged.select(
+            "vid",
+            "start",
+            F.least(F.col("dist"), F.col("nd")).alias("dist"),
+            (
+                F.col("dist").isNull()
+                | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
+            ).alias("fresh"),
         )
         obs = Observation(f"{job_name}_s{s}")
         observed = new_state.observe(

@@ -101,12 +101,29 @@ def minhash_bands(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, max_bucket: int | None = None, **kw
+) -> DataFrame:
     """Near-duplicate candidate pairs ``(doc_a, doc_b)`` (a < b, distinct)
-    that collide in at least one LSH band."""
+    that collide in at least one LSH band.
+
+    ``max_bucket`` caps bucket width: a band bucket holding more than
+    ``max_bucket`` docs is dropped before the self-join. At corpus scale
+    a boilerplate bucket (license headers, templated pages) is quadratic
+    in its width — the cap bounds the worst bucket's join cost at
+    max_bucket² while real near-dup clusters (small) still pair up in
+    their other bands. Default None keeps exact LSH semantics."""
     # materialize once: a self-join would otherwise recompute the full
     # shingle->minhash plan on BOTH sides (2x the md5 work at 100 TB)
     b = minhash_bands(docs, **kw).localCheckpoint()
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        b = b.join(ok, ["band", "band_hash"], "left_semi")
     left = b.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_a"))
     right = b.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_b"))
     return (

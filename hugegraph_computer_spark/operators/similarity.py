@@ -136,6 +136,7 @@ def ivf_topk(
     k: int = 10,
     n_planes: int = 8,
     n_tables: int = 4,
+    n_probes: int = 1,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -151,7 +152,13 @@ def ivf_topk(
     bounds the quadratic term; n_tables independent tables recover the
     recall lost to finer buckets (collision prob 1-(1-p^b)^T). Candidates
     are deduped on (query, neighbor) BEFORE scoring, so each pair's
-    cosine is computed once no matter how many tables it collides in."""
+    cosine is computed once no matter how many tables it collides in.
+
+    ``n_probes`` > 1 adds MULTI-PROBE on the query side: each query also
+    probes the n_planes buckets at Hamming distance 1 from its own (one
+    sign bit flipped) — the classic way to buy recall without growing
+    the index (the corpus side stays at one row per table). Probe
+    expansion is pure column arithmetic on the already-computed bucket."""
     tables = _plane_tables(dim, n_planes, n_tables, seed)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -163,6 +170,17 @@ def ivf_topk(
         F.col(vec_col).alias("qv"),
         F.explode(lsh_bucket_tables(F.col(vec_col), tables)).alias("tb"),
     ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    if n_probes > 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", "tbl", F.explode(probes).alias("bucket")
+        )
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))

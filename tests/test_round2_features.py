@@ -334,3 +334,50 @@ def test_closeness_sample_rate_underestimates(spark):
     assert s1 == s2  # deterministic sampling
     assert all(s1[v] <= exact[v] + 1e-9 for v in exact)
     assert any(s1[v] < exact[v] for v in exact)  # actually sampled
+
+
+# ------------------------------------ multi-probe LSH + minhash bucket cap
+def test_ivf_multiprobe_recall(spark):
+    from hugegraph_computer_spark.operators.similarity import ivf_topk
+
+    # corpus of 200 random vectors; 10 queries are small perturbations of
+    # corpus vectors, so each query's true nearest neighbor is planted
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((200, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qrows = [
+        (1000 + i, [float(x) for x in vecs[i] + 0.05 * rng.standard_normal(64)])
+        for i in range(10)
+    ]
+    q = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+
+    def recall(res):
+        hits = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+        return sum((1000 + i, i) in hits for i in range(10)) / 10
+
+    rb = recall(ivf_topk(df, q, k=3, n_planes=10, n_tables=2, dim=64))
+    rp = recall(
+        ivf_topk(df, q, k=3, n_planes=10, n_tables=2, n_probes=2, dim=64)
+    )
+    # probed bucket set is a superset of the base bucket set, so recall
+    # can only go up; with 10 planes the base misses some planted pairs
+    # and Hamming-1 probing recovers them
+    assert rp >= rb
+    assert rp >= 0.8
+
+
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    from hugegraph_computer_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "common license header text repeated verbatim") for i in range(12)]
+    pair = [(100, "a rare duplicated document body here xyz"),
+            (101, "a rare duplicated document body here xyz")]
+    d = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(d).collect()}
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in minhash_lsh_pairs(d, max_bucket=5).collect()}
+    assert (100, 101) in uncapped and (100, 101) in capped
+    # the 12-doc boilerplate bucket (66 pairs) is dropped by the cap
+    assert any(a < 100 for a, _ in uncapped)
+    assert not any(a < 100 for a, _ in capped)
