@@ -112,6 +112,12 @@ def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_centrality(_cs_graph(spark, sf_dir))
 
 
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hugegraph_computer_spark.operators.stats import graph_stats
+
+    return graph_stats(_cs_graph(spark, sf_dir))
+
+
 def q_degree_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph.from_edges(
         customer_supplier_weighted(spark, sf_dir), weight_col="weight"
@@ -370,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- BSP graph algorithms (SURVEY.md §2.11-2.12) ---
         "degree_centrality": q_degree,
         "degree_centrality_weighted": q_degree_weighted,
+        "graph_stats": q_graph_stats,
         "wcc": q_wcc,
         "pagerank": q_pagerank,
         "lpa": q_lpa,
@@ -413,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "degree_centrality": oracles.degree_sql(),
         "degree_centrality_weighted": oracles.degree_weighted_sql(),
+        "graph_stats": oracles.graph_stats_sql(),
         "wcc": oracles.wcc_sql(),
         "pagerank": oracles.pagerank_sql(supersteps=PAGERANK_SUPERSTEPS),
         "lpa": oracles.lpa_sql(supersteps=LPA_SUPERSTEPS),

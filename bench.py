@@ -113,13 +113,10 @@ def run() -> dict:
         "edges_per_sec": round(sym_edges * supersteps / extra_pr["seconds"]),
         "seconds": extra_pr["seconds"],
     }
-    timed(
-        "pagerank_arrow",
-        lambda: pagerank(
-            g_cs, l1_threshold=1e-6, max_supersteps=10,
-            kernel="arrow", job_name="pr_arrow",
-        ).count(),
-    )
+    # (the arrow-kernel negative result is measured by tools/bench_scaling
+    # with SPARK_GRAFT_KERNEL=arrow — the headline suite times DEFAULT
+    # engine paths only; the arrow line's 25-77s run-to-run noise was
+    # dominating suite variance)
     timed("wcc", lambda: wcc(g_cs).count())
     timed("lpa", lambda: lpa(g_cs).count())
     timed("degree_centrality", lambda: degree_centrality(g_cs).count())

@@ -73,6 +73,20 @@ FROM w GROUP BY src
 """
 
 
+def graph_stats_sql() -> str:
+    """Symmetrized-degree summary of the customer–supplier graph (twin of
+    operators.stats.graph_stats; SuperstepStat analogue)."""
+    return f"""
+WITH {EDGES_CS},
+d AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+a AS MATERIALIZED (SELECT COUNT(*) AS nv, SUM(deg) AS ne, MAX(deg) AS mx FROM d)
+SELECT 'n_vertices' AS stat, CAST(nv AS DOUBLE) AS value FROM a
+UNION ALL SELECT 'sym_edges', CAST(ne AS DOUBLE) FROM a
+UNION ALL SELECT 'max_degree', CAST(mx AS DOUBLE) FROM a
+UNION ALL SELECT 'avg_degree', ROUND(CAST(ne AS DOUBLE) / nv, 6) FROM a
+"""
+
+
 def degree_per_label_sql() -> str:
     """SINGLE_PER_LABEL edge frequency (EdgeFrequency.java:33-37): one
     edge survives per (src, dst, label); degree counts the symmetrized
