@@ -44,6 +44,7 @@ from hugegraph_computer_spark.operators import (
     wcc,
 )
 from hugegraph_computer_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_bands,
     minhash_lsh_pairs,
@@ -261,6 +262,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone dedup composition: LSH candidates → Jaccard verify → the
+    engine's own WCC for the transitive closure → min-id survivor."""
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.3)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
@@ -396,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         # --- text analysis ---
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -440,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(threshold=0.3),
         "simhash_near_pairs": oracles.simhash_near_pairs_sql(max_hamming=3),
+        "dedup_clusters": oracles.dedup_clusters_sql(threshold=0.3),
         "token_stats": oracles.token_stats_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),

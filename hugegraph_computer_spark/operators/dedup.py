@@ -182,6 +182,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: ``(doc_id, keep_id)`` where keep_id is the
+    minimum doc id of the document's near-dup cluster (itself if unique).
+
+    The full pipeline composition — MinHash-LSH candidates → exact n-gram
+    Jaccard verification (≥ threshold) → the ENGINE'S OWN WCC over the
+    verified-pair graph → min-id survivor per component. This is the
+    production dedup shape at corpus scale: transitive closure matters
+    (A~B, B~C ⇒ one cluster even when A~C is below threshold), and the
+    closure is exactly a connected-components run, so the BSP machinery
+    (frontier messaging, checkpointed supersteps) does the heavy step.
+    """
+    from hugegraph_computer_spark.graph.graph import Graph
+    from hugegraph_computer_spark.operators.wcc import wcc
+
+    cand = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, max_bucket=max_bucket, **kw
+    )
+    verified = ngram_jaccard_pairs(
+        docs,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        candidates=cand,
+    )
+    edges = verified.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    if edges.isEmpty():  # no near-dups at all: every doc keeps itself
+        return ids.select("doc_id", F.col("doc_id").alias("keep_id"))
+    comp = wcc(Graph.from_edges(edges), job_name="dedup_clusters_wcc")
+    return ids.join(comp, ids["doc_id"] == comp["vid"], "left").select(
+        "doc_id", F.coalesce(comp["component"], ids["doc_id"]).alias("keep_id")
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 — portable to DuckDB hex→BIGINT
 
 

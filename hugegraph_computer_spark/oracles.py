@@ -453,6 +453,36 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
 """
 
 
+def dedup_clusters_sql(threshold: float = 0.3, shingle_n: int = 3, **kw) -> str:
+    """Twin of operators.dedup.dedup_clusters: LSH candidates → Jaccard
+    verify → transitive closure (recursive CTE ≡ the engine's WCC) →
+    min-id survivor; docs without a verified pair keep themselves."""
+    cand = minhash_lsh_pairs_sql(**kw)
+    return f"""
+WITH RECURSIVE cand AS MATERIALIZED ({cand}),
+toks AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS MATERIALIZED (SELECT doc_id, {_shingles_sql(shingle_n)} AS sh FROM toks),
+vp AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold!r}
+),
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM vp
+  UNION SELECT doc_b AS src, doc_a AS dst FROM vp
+),
+reach(vid, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT reach.vid, e.dst FROM reach JOIN e ON reach.r = e.src
+),
+comp AS MATERIALIZED (SELECT vid, MIN(r) AS keep FROM reach GROUP BY vid)
+SELECT d.doc_id, COALESCE(c.keep, d.doc_id) AS keep_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.vid
+"""
+
+
 def simhash_near_pairs_sql(max_hamming: int = 3, bits: int = 60) -> str:
     """Twin of operators.dedup.simhash + simhash_near_pairs: token hash =
     60-bit hex(md5) prefix, per-bit ±1 majority vote, pigeonhole banding,

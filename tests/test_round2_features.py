@@ -381,3 +381,37 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     # the 12-doc boilerplate bucket (66 pairs) is dropped by the cap
     assert any(a < 100 for a, _ in uncapped)
     assert not any(a < 100 for a, _ in capped)
+
+
+# --------------------------------------------- near-dup clustering capstone
+def test_dedup_clusters_transitive(spark):
+    from hugegraph_computer_spark.operators.dedup import dedup_clusters
+
+    y = "alpha beta gamma delta epsilon zeta eta theta"
+    z = "iota kappa lambda mu nu xi omicron pi"
+    docs = [
+        (1, "one two three " + y),            # A ~ B via y
+        (2, y + " " + z),                      # B ~ both
+        (3, z + " seven eight nine ten"),      # C ~ B via z
+        (9, "totally unrelated content goes here now indeed"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    # band_size=1 -> 16 single-minhash bands: candidate miss probability
+    # for a Jaccard-0.35 pair is (1-J)^16 ~ 0.1% (band_size=2 would make
+    # this test a coin flip at J~0.35)
+    out = {r["doc_id"]: r["keep_id"]
+           for r in dedup_clusters(d, threshold=0.2, band_size=1).collect()}
+    # A-B and B-C verify; A-C does not — transitive closure still merges
+    assert out[1] == out[2] == out[3] == 1
+    assert out[9] == 9  # singleton keeps itself
+
+
+def test_dedup_clusters_no_pairs(spark):
+    from hugegraph_computer_spark.operators.dedup import dedup_clusters
+
+    d = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd eee"), (2, "fff ggg hhh iii jjj")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["keep_id"] for r in dedup_clusters(d).collect()}
+    assert out == {1: 1, 2: 2}
