@@ -60,6 +60,7 @@ from hugegraph_computer_spark.operators.similarity import (
     ivf_topk,
 )
 from hugegraph_computer_spark.operators.text import (
+    curation_filter,
     fingerprint,
     lang_id,
     quality_score,
@@ -284,6 +285,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality × language × dedup-survivor curation pass (composition of
+    the engine's own text/dedup operators)."""
+    return curation_filter(
+        _docs(spark, sf_dir), min_quality=0.5, langs=("en", "de")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
@@ -409,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "curation_filter": q_curation_filter,
         # --- event stream (sessionization / time-window dedup) ---
         "sessionize": q_sessionize,
         "window_dedup": q_window_dedup,
@@ -453,6 +463,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),
         "fingerprint": oracles.fingerprint_sql(),
+        "curation_filter": oracles.curation_filter_sql(
+            min_quality=0.5, langs=("en", "de")
+        ),
         "sessionize": oracles.sessionize_sql(),
         "window_dedup": oracles.window_dedup_sql(),
         "cosine_topk": oracles.cosine_topk_sql(k=TOPK, n_queries=N_QUERIES),

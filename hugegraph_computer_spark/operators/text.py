@@ -30,6 +30,45 @@ def _toks(text_col: str) -> Column:
     return F.split(F.lower(F.col(text_col)), " ")
 
 
+def curation_filter(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation pass a training-data pipeline runs before sampling:
+    keep documents that (a) clear the quality floor, (b) are in an
+    accepted language, and (c) are the exact-dedup survivor of their
+    content group (min doc id). Returns
+    ``(doc_id, quality, lang_guess)`` for the surviving docs.
+
+    Pure composition of the engine's own text/dedup operators — all JVM
+    column expressions; the three branches share the parquet scan, and at
+    100 TB each predicate runs at scan speed with the dedup survivor set
+    as a broadcast-able semi-join side (one row per distinct content)."""
+    from hugegraph_computer_spark.operators.dedup import exact_dedup
+
+    q = quality_score(docs, id_col, text_col).select(
+        F.col("doc_id"), F.col("quality")
+    )
+    lang = lang_id(docs, id_col, text_col)
+    survivors = exact_dedup(docs, id_col, text_col).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(survivors, "doc_id", "left_semi")
+        .where(
+            (F.col("quality") >= min_quality)
+            & F.col("lang_guess").isin(*langs)
+        )
+        .select("doc_id", "quality", "lang_guess")
+    )
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars, n_words, avg_token_len)"""
     toks = _toks(text_col)

@@ -601,6 +601,23 @@ FROM mm
 """
 
 
+def curation_filter_sql(min_quality: float = 0.5, langs: tuple[str, ...] = ("en",)) -> str:
+    """Twin of operators.text.curation_filter: quality floor × accepted
+    language × exact-dedup survivor (CTE bodies carry their own WITHs)."""
+    lang_list = ", ".join(f"'{x}'" for x in langs)
+    return f"""
+WITH qs AS MATERIALIZED ({quality_score_sql()}),
+li AS MATERIALIZED ({lang_id_sql()}),
+kd AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, qs.quality, li.lang_guess
+FROM documents d
+JOIN qs ON d.doc_id = qs.doc_id
+JOIN li ON d.doc_id = li.doc_id
+JOIN kd ON d.doc_id = kd.doc_id
+WHERE qs.quality >= {min_quality!r} AND li.lang_guess IN ({lang_list})
+"""
+
+
 def fingerprint_sql() -> str:
     return r"""
 SELECT doc_id,
