@@ -160,6 +160,17 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness_centrality(_cs_graph(spark, sf_dir), sources=32)
 
 
+def q_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted closeness (edge weight = Σ l_quantity); superstep count is
+    pinned so the oracle's hop-mirrored Bellman-Ford matches exactly."""
+    g = Graph.from_edges(
+        customer_supplier_weighted(spark, sf_dir), weight_col="weight"
+    )
+    return closeness_centrality(
+        g, sources=16, weighted=True, max_supersteps=8, job_name="closeness_w"
+    )
+
+
 def q_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph.from_edges(nation_same_region_edges(spark, sf_dir))
     return rings_count(g)
@@ -399,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle,
         "clustering_coefficient": q_clustering,
         "closeness_centrality": q_closeness,
+        "closeness_weighted": q_closeness_weighted,
         "rings_count": q_rings,
         "links": q_links,
         "links_weighted": q_links_weighted,
@@ -445,6 +457,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": oracles.triangle_sql(),
         "clustering_coefficient": oracles.clustering_sql(),
         "closeness_centrality": oracles.closeness_sql(),
+        "closeness_weighted": oracles.closeness_weighted_sql(
+            n_sources=16, max_supersteps=8
+        ),
         "rings_count": oracles.rings_count_sql(),
         "links": oracles.links_sql(),
         "links_weighted": oracles.links_weighted_sql(),

@@ -779,6 +779,60 @@ FROM v LEFT JOIN cc ON v.vid = cc.vid
 """
 
 
+def closeness_weighted_sql(
+    n_sources: int = 16, max_supersteps: int = 8, round_to: int = 6
+) -> str:
+    """Weighted closeness twin: Bellman-Ford unrolled hop by hop over the
+    weighted customer–supplier edges, mirroring the engine's superstep
+    recursion EXACTLY (seed = 1-hop distances, then max_supersteps-1
+    relax rounds), so even if neither side has reached the unbounded
+    fixpoint both compute the identical ≤max_supersteps-hop distances —
+    every path's weight sum accumulates start→end in the same order on
+    both engines. Skips messages INTO the start (ClosenessCentrality
+    sendMessage skips the origin); closeness = Σ 1/d."""
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST({SUPPLIER_OFFSET} + l_suppkey AS BIGINT) AS dst,
+         CAST(SUM(l_quantity) AS DOUBLE) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+w AS MATERIALIZED (
+  SELECT src, dst, MAX(weight) AS weight FROM (
+    SELECT src, dst, weight FROM w0
+    UNION ALL SELECT dst AS src, src AS dst, weight FROM w0
+  ) GROUP BY src, dst
+),
+v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM w),
+srcs AS MATERIALIZED (SELECT vid FROM v ORDER BY vid LIMIT {n_sources})""",
+        "d1 AS MATERIALIZED (SELECT s.vid AS start, w.dst AS vid, MIN(w.weight) AS d "
+        "FROM srcs s JOIN w ON w.src = s.vid WHERE w.dst <> s.vid GROUP BY 1, 2)",
+    ]
+    for i in range(2, max_supersteps + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT start, vid, MIN(d) AS d FROM ("
+            f"SELECT start, vid, d FROM d{p} "
+            f"UNION ALL "
+            f"SELECT p.start, w.dst AS vid, p.d + w.weight AS d "
+            f"FROM d{p} p JOIN w ON w.src = p.vid WHERE w.dst <> p.start"
+            f") GROUP BY start, vid)"
+        )
+    last = max_supersteps
+    parts.append(
+        f"cc AS MATERIALIZED (SELECT vid, ROUND(SUM(1.0 / d), {round_to}) AS closeness "
+        f"FROM d{last} GROUP BY vid)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT v.vid, COALESCE(cc.closeness, 0.0) AS closeness
+FROM v LEFT JOIN cc ON v.vid = cc.vid
+"""
+    )
+
+
 def rings_count_sql() -> str:
     """Reference-exact ring counts on the nation clique graph: recursive
     path flood (root = seq[1]; forward to neighbors >= root, no revisits;
