@@ -7,15 +7,11 @@ every implemented operator from SURVEY.md §2 as (spark, sf_dir) -> DataFrame;
 oracles.py) for every SQL-expressible one. Column names and float rounding
 match pairwise so the driver's order-insensitive value hash compares equal.
 
-The single entry without an oracle (driver records a rows-only check):
-* multimodal_features — mapInPandas over binary payloads with a
-  deterministic fake decoder (no codec libs in this container; the fake
-  features are sha256+PCG64, not SQL-expressible).
-
-Since round 2, corpus_* ARE oracle-checked (the corpus generator is a
-pure md5 hash, so DuckDB re-derives the exact edge list in SQL —
-oracles.corpus_edges_sql) and simhash is a pure JVM kernel with a
-bit-exact SQL twin.
+Since round 3 EVERY entry has a DuckDB oracle: corpus_* re-derive the
+pure-md5 corpus edge list in SQL (oracles.corpus_edges_sql), simhash is a
+pure JVM kernel with a bit-exact SQL twin, and multimodal_features draws
+its fake decoder output from the same portable 60-bit md5 family so the
+mapInPandas/Arrow path is value-hash-checked too.
 """
 
 from __future__ import annotations
@@ -373,9 +369,12 @@ def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's canonicalizer sorts/hashes every column in pandas, so
-    the array<float> feature vector is serialized to a scalar signature
-    (md5 of the comma-joined 6-decimal components) — same information,
-    hashable cells."""
+    the array<float> feature vector is serialized to a scalar signature:
+    md5 of the comma-joined INTEGER micro-values (component × 1e6). The
+    fake features are 6-decimal values from the portable md5 family, so
+    round(x*1e6) recovers the exact integer on both engines — no float
+    formatting in the signature (locale/rounding-mode proof; ADVICE r2
+    flagged format_number's grouping separators)."""
     assets = synth_assets(spark, n=64, seed=42)
     feats = extract_features(assets, dim=16)
     return feats.select(
@@ -385,7 +384,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
                 F.transform(
                     "feature",
-                    lambda x: F.format_number(x.cast("double"), 6),
+                    lambda x: F.round(x.cast("double") * 1_000_000)
+                    .cast("long")
+                    .cast("string"),
                 ),
             )
         ).alias("feature_sig"),
@@ -499,5 +500,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_wcc": oracles.corpus_wcc_sql(
             n_repos=CORPUS_REPOS, files_per_repo=CORPUS_FPR
+        ),
+        "multimodal_features": oracles.multimodal_features_sql(
+            n=64, seed=42, dim=16
         ),
     }

@@ -90,10 +90,11 @@ def extract_features(assets: DataFrame, dim: int = 16, use_real_decoder: bool = 
     """Batch feature extraction over binary payloads (mapInPandas / Arrow).
 
     With ``use_real_decoder=False`` features are a deterministic fake
-    (sha256-seeded pseudo-embedding of the payload bytes) so the full
-    distributed path — schema, batching, shuffle — is exercised without
-    codecs. The real path raises DecoderUnavailable where the decode call
-    belongs.
+    drawn from the portable 60-bit md5 hash family (6-decimal values in
+    [0, 1)), so the full distributed path — schema, batching, shuffle —
+    is exercised without codecs AND the output is reproducible in DuckDB
+    for the correctness gate. The real path raises DecoderUnavailable
+    where the decode call belongs.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,11 +103,32 @@ def extract_features(assets: DataFrame, dim: int = 16, use_real_decoder: bool = 
             for payload, modality in zip(pdf["payload"], pdf["modality"]):
                 if use_real_decoder:
                     real_decode(bytes(payload), modality)  # raises
-                h = hashlib.sha256(bytes(payload)).digest()
-                rng = np.random.Generator(
-                    np.random.PCG64(int.from_bytes(h[:8], "big"))
+                # fake features from the ENGINE-PORTABLE 60-bit md5 family
+                # (same family as simhash / the corpus generator): component
+                # j = (int(md5(payload_hex ':' j)[:15], 16) % 1e6) / 1e6.
+                # DuckDB re-derives the identical values in SQL
+                # (oracles.multimodal_features_sql), so the full
+                # mapInPandas/Arrow path is value-hash-checkable — unlike
+                # the r2 PCG64 draws, which had no SQL twin.
+                hexp = bytes(payload).hex()
+                feats.append(
+                    np.array(
+                        [
+                            (
+                                int(
+                                    hashlib.md5(
+                                        f"{hexp}:{j}".encode()
+                                    ).hexdigest()[:15],
+                                    16,
+                                )
+                                % 1_000_000
+                            )
+                            / 1e6
+                            for j in range(dim)
+                        ],
+                        dtype=np.float32,
+                    )
                 )
-                feats.append(rng.standard_normal(dim).astype(np.float32))
             yield pd.DataFrame(
                 {"asset_id": pdf["asset_id"], "feature": [list(f) for f in feats]}
             )

@@ -1027,3 +1027,28 @@ WHERE list_dot_product(va, vb) /
       (sqrt(list_dot_product(va, va)) *
        sqrt(list_dot_product(vb, vb))) >= {threshold!r}
 """
+
+
+def multimodal_features_sql(n: int = 64, seed: int = 42, dim: int = 16) -> str:
+    """SQL twin of multimodal.synth_assets + extract_features (fake
+    decoder): payload = sha256(f"{seed}:{i}") digest repeated 8 times, so
+    payload.hex() == repeat(sha256_hex, 8); feature component j =
+    (md5-60-bit(payload_hex ':' j) % 1e6) / 1e6 — the same portable hash
+    family as simhash/corpus (operators/dedup.py SIMHASH_BITS). The gate
+    signature hashes the INTEGER micro-values, so no float formatting is
+    involved and the mapInPandas/Arrow path is value-hash-checked."""
+    return f"""
+WITH payload AS MATERIALIZED (
+  SELECT i AS asset_id, repeat(sha256('{seed}:' || i), 8) AS hexp
+  FROM range(0, {n}) t(i)
+),
+comp AS MATERIALIZED (
+  SELECT asset_id, j,
+         ('0x' || substr(md5(hexp || ':' || j), 1, 15))::BIGINT % 1000000 AS micro
+  FROM payload CROSS JOIN range(0, {dim}) s(j)
+)
+SELECT asset_id,
+       md5(string_agg(micro::VARCHAR, ',' ORDER BY j)) AS feature_sig,
+       {dim}::BIGINT AS dim
+FROM comp GROUP BY asset_id
+"""
