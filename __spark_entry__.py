@@ -78,6 +78,11 @@ from hugegraph_computer_spark.graph.graph import dense_ids
 
 PAGERANK_SUPERSTEPS = 6
 LPA_SUPERSTEPS = 10
+# engine AND oracle run Brandes BFS to the SAME depth (ADVICE r2: a
+# mismatched oracle depth silently truncates); 12 is well above the
+# customer-supplier graph's eccentricity (~4) at any test sf, and the
+# oracle emits a sentinel row if its deepest level is non-empty.
+BETWEENNESS_DEPTH = 12
 TOPK = 10
 N_QUERIES = 8
 IVF_PLANES = 6
@@ -211,7 +216,9 @@ def q_degree_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return betweenness_centrality(_cs_graph(spark, sf_dir), sources=16)
+    return betweenness_centrality(
+        _cs_graph(spark, sf_dir), sources=16, max_depth=BETWEENNESS_DEPTH
+    )
 
 
 def q_betweenness_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,7 +472,9 @@ def oracle_sql() -> dict[str, str]:
         "links": oracles.links_sql(),
         "links_weighted": oracles.links_weighted_sql(),
         "degree_per_label": oracles.degree_per_label_sql(),
-        "betweenness_centrality": oracles.betweenness_sql(n_sources=16),
+        "betweenness_centrality": oracles.betweenness_sql(
+            n_sources=16, max_depth=BETWEENNESS_DEPTH
+        ),
         "betweenness_tree": oracles.betweenness_tree_sql(),
         "coreness": oracles.coreness_sql(),
         "wcc_string_ids": oracles.wcc_string_ids_sql(),

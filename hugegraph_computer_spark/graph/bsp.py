@@ -169,6 +169,38 @@ class SuperstepLoop:
         self.commit(superstep, aggregates, metrics)
         return out
 
+    def completed_steps(self) -> list[int]:
+        """All supersteps with a COMPLETE durable snapshot (meta present),
+        ascending. Path-flood algorithms persist per-superstep result
+        DELTAS alongside the in-flight state; resume replays every delta
+        ≤ the latest state snapshot (operators/rings.py, links.py)."""
+        if not self.dir or not os.path.isdir(self.dir):
+            return []
+        out = []
+        for name in os.listdir(self.dir):
+            if name.startswith("superstep="):
+                s = int(name.split("=", 1)[1])
+                if os.path.exists(self._meta_path(s)):
+                    out.append(s)
+        return sorted(out)
+
+    def read_step(self, superstep: int) -> DataFrame:
+        """Read one durable superstep snapshot back (lineage-free)."""
+        return self.spark.read.format(self.snapshot_format).load(
+            self._step_dir(superstep)
+        )
+
+    def discard_step(self, superstep: int) -> None:
+        """Drop a durable snapshot (used for the final EMPTY frontier: the
+        write happens before its observed count is known; keeping an empty
+        level would corrupt resume — e.g. Brandes' backward sweep keys off
+        the deepest non-empty level)."""
+        if self.dir is None:
+            return
+        path = self._step_dir(superstep)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
     def resume(self) -> tuple[int, DataFrame, dict] | None:
         """Latest complete snapshot → (superstep, state, aggregates); None
         if the job has never checkpointed."""

@@ -40,13 +40,25 @@ def rings_detection(
     max_ring_length: int | None = None,
     max_supersteps: int = 50,
     spread_cond: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
     job_name: str = "rings",
 ) -> DataFrame:
     """Detect rings; returns ``(vid long, ring array<long>)`` — one row per
     recorded ring, anchored at its minimum vertex, sequence starting and
-    ending at that vertex. Use ``rings_count`` for the per-vertex rollup."""
+    ending at that vertex. Use ``rings_count`` for the per-vertex rollup.
+
+    With ``checkpoint_dir`` the run is RESUMABLE (north rule; the
+    reference left resume as a TODO — MasterService.java:213, 316-322):
+    the in-flight path set snapshots under ``{dir}/{job}_paths`` and each
+    superstep's recorded-ring DELTA under ``{dir}/{job}_rings``; a ring
+    delta is written before its superstep's path commit, so a kill at any
+    point resumes from the last complete superstep with every earlier
+    delta intact and replays at most one superstep (idempotent
+    overwrite). ``resume=True`` continues from the latest snapshot."""
     spark = graph.edges.sparkSession
-    loop_paths = SuperstepLoop(spark, f"{job_name}_paths", None, max_supersteps)
+    loop_paths = SuperstepLoop(spark, f"{job_name}_paths", checkpoint_dir, max_supersteps)
+    loop_rings = SuperstepLoop(spark, f"{job_name}_rings", checkpoint_dir, max_supersteps)
     # spread_cond ≈ RingsDetectionWithFilter's property-filter DSL
     # (rings/filter/RingsDetectionWithFilter.java): a SQL boolean over the
     # edge columns gating every send, superstep 0 included.
@@ -55,20 +67,31 @@ def rings_detection(
         edges = edges.where(F.expr(spread_cond))
     edges = edges.select("src", "dst")
 
-    # superstep 0: path [self] to every neighbor with dst >= src
-    paths = (
-        edges.where(F.col("dst") >= F.col("src"))
-        .select(F.col("dst").alias("cur"), F.array(F.col("src")).alias("seq"))
-    )
-    paths = loop_paths.materialize(0, paths)
     # Recorded rings accumulate as per-superstep DELTAS, each materialized
     # exactly once and unioned at the end — O(|results|) total writes, not
     # the O(S·|results|) of re-materializing a cumulative union per
-    # superstep (each delta's lineage is a filter over the already
-    # checkpointed paths frame, so the final union re-reads nothing).
+    # superstep. Durable deltas are parquet read-backs (nothing pinned);
+    # non-durable ones are localCheckpoints released after the final union.
     deltas: list[DataFrame] = []
+    local_deltas: list[DataFrame] = []
+    start_s = 1
+    state = loop_paths.resume() if resume else None
+    if state is not None:
+        s0, paths, _ = state
+        start_s = s0 + 1
+        for k in loop_rings.completed_steps():
+            if k <= s0:
+                deltas.append(loop_rings.read_step(k))
+    else:
+        # superstep 0: path [self] to every neighbor with dst >= src
+        paths = (
+            edges.where(F.col("dst") >= F.col("src"))
+            .select(F.col("dst").alias("cur"), F.array(F.col("src")).alias("seq"))
+        )
+        paths = loop_paths.materialize(0, paths)
+        loop_paths.commit(0, {})
 
-    for s in range(1, max_supersteps):
+    for s in range(start_s, max_supersteps):
         root = F.element_at("seq", 1)
         closed = paths.where(F.col("cur") == root)
         new_rings = (
@@ -78,8 +101,13 @@ def rings_detection(
                 F.col("cur").alias("vid"),
                 F.concat("seq", F.array(F.col("cur"))).alias("ring"),
             )
-        ).localCheckpoint(eager=True)
-        deltas.append(new_rings)
+        )
+        if checkpoint_dir is not None:
+            d = loop_rings.save(s, new_rings, {})
+        else:
+            d = new_rings.localCheckpoint(eager=True)
+            local_deltas.append(d)
+        deltas.append(d)
 
         fwd = paths.where(
             (F.col("cur") != root) & ~F.array_contains("seq", F.col("cur"))
@@ -97,16 +125,22 @@ def rings_detection(
         paths = loop_paths.materialize(
             s, nxt.observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        if int(obs.get["n"] or 0) == 0:
+        n = int(obs.get["n"] or 0)
+        if n == 0:
+            # drop the empty frontier snapshot: superstep s-1 stays the
+            # resume point (replaying one superstep is idempotent)
+            loop_paths.discard_step(s)
             break
+        loop_paths.commit(s, {"in_flight": n})
 
     rings = spark.createDataFrame([], "vid long, ring array<long>")
     for d in deltas:
         rings = rings.unionByName(d)
     out = rings.localCheckpoint(eager=True)
-    for d in deltas:
+    for d in local_deltas:
         release_local_checkpoint(d)
     loop_paths.cleanup(keep_last=False)
+    loop_rings.cleanup(keep_last=False)
     return out
 
 

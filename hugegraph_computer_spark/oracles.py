@@ -878,16 +878,20 @@ SELECT cur AS vid, array_to_string(path, '-') AS path_str FROM p WHERE ended
 
 
 def betweenness_sql(
-    n_sources: int = 16, max_depth: int = 6, round_to: int = 6
+    n_sources: int = 16, max_depth: int = 12, round_to: int = 6
 ) -> str:
     """Deterministic sampled Brandes unrolled level by level — the SQL
     twin of operators.betweenness (same documented deviation from the
     reference's randomized flood): forward BFS layers carry path counts
     sigma; the backward sweep computes
     delta(v) = Σ_w sigma_v/sigma_w · (1+delta_w) per level; betweenness =
-    Σ deltas / 2. ``max_depth`` must exceed the BFS eccentricity of the
-    sampled sources (4 on the sf0.01 customer–supplier graph; levels past
-    the true depth are empty no-ops)."""
+    Σ deltas / 2. The caller MUST pass the same ``max_depth`` the engine
+    runs with (__spark_entry__ pins both to BETWEENNESS_DEPTH — ADVICE r2:
+    a hardcoded 6 would silently truncate sigma/delta at a scale factor
+    whose eccentricity exceeds it). If the deepest unrolled level is
+    still non-empty (possible truncation), the query emits a sentinel
+    row (vid = -1) so the gate fails LOUDLY on rows/hash instead of
+    comparing silently truncated values."""
     parts = [
         f"WITH {EDGES_CS}",
         "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
@@ -930,6 +934,9 @@ def betweenness_sql(
         + f"""
 SELECT v.vid, ROUND(COALESCE(acc.c, 0.0) / 2.0, {round_to}) AS betweenness
 FROM v LEFT JOIN acc ON v.vid = acc.vid
+UNION ALL
+SELECT -1 AS vid, -1.0 AS betweenness
+WHERE EXISTS (SELECT 1 FROM l{max_depth})
 """
     )
 

@@ -43,6 +43,20 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan[:2000]}"
 
 
+def count_file_scans(df: DataFrame, path_fragment: str | None = None) -> int:
+    """Number of file-source scans in the physical plan — the "did this
+    composition share the table scan" gate (VERDICT r2: curation_filter
+    scanned documents 4×; Catalyst does not dedupe common subplans, so
+    scan count is a correctness-of-shape property, not an optimizer
+    detail). With ``path_fragment``, only scans whose Location mentions
+    the fragment count."""
+    plan = explain_str(df, "simple")
+    scans = re.findall(r"FileScan \w+[^\n]*|Scan \w+ [^\n]*", plan)
+    if path_fragment is not None:
+        scans = [s for s in scans if path_fragment in s]
+    return len(scans)
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (bigger spans = fewer = better;
     returns the count so tests can bound Python/codegen boundaries)."""
