@@ -71,6 +71,7 @@ from hugegraph_computer_spark.sources.tpch_graph import (
     customer_supplier_weighted,
     hierarchy_edges,
     hierarchy_edges_string_ids,
+    lineitem_ordered_prop_edges,
     nation_same_region_edges,
     nation_same_region_weighted,
 )
@@ -213,6 +214,30 @@ def q_degree_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge_freq="single_per_label",
     )
     return degree_centrality(g)
+
+
+def q_edge_props_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Properties-combiner parity (round-3): the same duplicate-heavy
+    ordered edge table merged under all four policies — merge_new (first
+    non-null, MergeNewPropertiesCombiner.java), merge_old (last non-null,
+    MergeOldPropertiesCombiner.java), overwrite (last row, nulls
+    included), and the engine's orderless min — joined into one frame so
+    the oracle distinguishes every policy's value."""
+    e = lineitem_ordered_prop_edges(spark, sf_dir)
+    out = None
+    for pol in ("merge_new", "merge_old", "overwrite"):
+        g = Graph.from_edges(
+            e, properties=["qty"], props_combiner=pol, order_col="ord"
+        )
+        f = g.edges.select(
+            "src", "dst", F.round("qty", 6).alias(f"qty_{pol}")
+        )
+        out = f if out is None else out.join(f, ["src", "dst"])
+    g_min = Graph.from_edges(e, properties=["qty"])
+    return out.join(
+        g_min.edges.select("src", "dst", F.round("qty", 6).alias("qty_min")),
+        ["src", "dst"],
+    )
 
 
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links": q_links,
         "links_weighted": q_links_weighted,
         "degree_per_label": q_degree_per_label,
+        "edge_props_policy": q_edge_props_policy,
         "betweenness_centrality": q_betweenness,
         "betweenness_tree": q_betweenness_tree,
         "wcc_string_ids": q_wcc_string_ids,
@@ -472,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "links": oracles.links_sql(),
         "links_weighted": oracles.links_weighted_sql(),
         "degree_per_label": oracles.degree_per_label_sql(),
+        "edge_props_policy": oracles.edge_props_policy_sql(),
         "betweenness_centrality": oracles.betweenness_sql(
             n_sources=16, max_depth=BETWEENNESS_DEPTH
         ),

@@ -3,13 +3,23 @@
 Prints ONE JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...,
-     "pagerank": {"supersteps": n, "edges": m, "edges_per_sec": r}}
+     "trials": [<per-trial total sec>, ...],
+     "pagerank": {"supersteps": n, "sym_edges": m, "edges_per_sec": r}}
 
 The headline graph job is reference-exact PageRank to 1e-6 L1 on the
 customer-supplier link graph (BASELINE.md operative metric); the rest of
 the suite covers each operator family once. Scaling-efficiency evidence
 (local[8] vs local[32] on the identical input) is produced by
 ``tools/bench_scaling.py`` and recorded in BENCH.md.
+
+Noise control (VERDICT r2 next-step #8): the suite runs
+$SPARK_GRAFT_TRIALS times (default 3) in one session and reports the
+per-query BEST — this VM's run-to-run spread was measured at up to 1.6×
+on identical trials (BENCH.md), so single-shot numbers are not
+round-over-round comparable. Trial 1 is cold (OS page cache), later
+trials are warm steady-state — best-of picks the reproducible floor.
+PageRank throughput uses the superstep count the loop ACTUALLY executed
+(pagerank stats_out), not the cap.
 """
 
 from __future__ import annotations
@@ -26,6 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hugegraph_computer_spark.graph.graph import Graph  # noqa: E402
 from hugegraph_computer_spark.operators import (  # noqa: E402
+    betweenness_centrality,
     closeness_centrality,
     degree_centrality,
     lpa,
@@ -35,6 +46,7 @@ from hugegraph_computer_spark.operators import (  # noqa: E402
     wcc,
 )
 from hugegraph_computer_spark.operators.dedup import (  # noqa: E402
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     simhash,
@@ -48,6 +60,7 @@ from hugegraph_computer_spark.operators.similarity import (  # noqa: E402
     ivf_topk,
 )
 from hugegraph_computer_spark.operators.text import (  # noqa: E402
+    curation_filter,
     lang_id,
     quality_score,
     token_stats,
@@ -60,15 +73,8 @@ from hugegraph_computer_spark.sources.tpch_graph import (  # noqa: E402
 )
 
 
-def run() -> dict:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(
-        master=f"local[{cpus}]", app_name="hgc-spark-bench", shuffle_partitions=cpus
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
+    """One full pass over the suite; returns (timings, extra)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -92,37 +98,33 @@ def run() -> dict:
     g_cs = Graph.from_edges(customer_supplier_edges(spark, sf_dir))
     timed("graph_build", lambda: (g_cs.adjacency().count(), g_cs.num_vertices()))
     sym_edges = int(g_cs.edges.count())
-    extra_pr: dict = {}
+    pr_stats: dict = {}
 
     def run_pagerank():
-        t0 = time.time()
-        out = pagerank(g_cs, l1_threshold=1e-6, max_supersteps=10)
+        out = pagerank(
+            g_cs, l1_threshold=1e-6, max_supersteps=10, stats_out=pr_stats
+        )
         out.count()
-        dt = time.time() - t0
-        # supersteps actually executed are in the loop history of the call;
-        # recompute from convergence semantics: report edges/sec over the
-        # symmetrized edge table per superstep.
-        extra_pr["seconds"] = round(dt, 3)
         return out
 
     timed("pagerank_1e6", run_pagerank)
-    supersteps = 10  # capped by bsp.max_super_step; dense graph runs full
+    supersteps = int(pr_stats.get("supersteps", 10))
     extra["pagerank"] = {
         "supersteps": supersteps,
         "sym_edges": sym_edges,
-        "edges_per_sec": round(sym_edges * supersteps / extra_pr["seconds"]),
-        "seconds": extra_pr["seconds"],
+        "edges_per_sec": round(sym_edges * supersteps / timings["pagerank_1e6"]),
+        "seconds": timings["pagerank_1e6"],
     }
-    # (the arrow-kernel negative result is measured by tools/bench_scaling
-    # with SPARK_GRAFT_KERNEL=arrow — the headline suite times DEFAULT
-    # engine paths only; the arrow line's 25-77s run-to-run noise was
-    # dominating suite variance)
     timed("wcc", lambda: wcc(g_cs).count())
     timed("lpa", lambda: lpa(g_cs).count())
     timed("degree_centrality", lambda: degree_centrality(g_cs).count())
     timed(
         "closeness_32src",
         lambda: closeness_centrality(g_cs, sources=32).count(),
+    )
+    timed(
+        "betweenness_16src",
+        lambda: betweenness_centrality(g_cs, sources=16, max_depth=12).count(),
     )
     g_cp = Graph.from_edges(copurchase_edges(spark, sf_dir), drop_self_loops=True)
     timed("triangle_count", lambda: triangle_count(g_cp).count())  # oriented default
@@ -133,14 +135,20 @@ def run() -> dict:
     g_nation = Graph.from_edges(nation_same_region_edges(spark, sf_dir))
     timed("rings_count", lambda: rings_count(g_nation).count())
     g_cs.unpersist()
+    g_cp.unpersist()
 
     # ---- training-data pipeline (noop-sunk: full column computation)
     timed("exact_dedup", lambda: consume(exact_dedup(docs)))
     timed("minhash_lsh_pairs", lambda: consume(minhash_lsh_pairs(docs)))
+    timed("dedup_clusters", lambda: consume(dedup_clusters(docs, threshold=0.3)))
     timed("simhash", lambda: consume(simhash(docs)))
     timed("token_stats", lambda: consume(token_stats(docs)))
     timed("quality_score", lambda: consume(quality_score(docs)))
     timed("lang_id", lambda: consume(lang_id(docs)))
+    timed(
+        "curation_filter",
+        lambda: consume(curation_filter(docs, min_quality=0.5, langs=("en", "de"))),
+    )
     timed(
         "cosine_topk",
         lambda: consume(cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=10)),
@@ -155,17 +163,43 @@ def run() -> dict:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     timed("sessionize", lambda: consume(sessionize(events)))
     timed("window_dedup", lambda: consume(window_dedup(events)))
+    return timings, extra
+
+
+def run() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name="hgc-spark-bench", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    trials: list[tuple[dict, dict]] = []
+    for _ in range(n_trials):
+        trials.append(run_suite(spark, sf_dir))
+
+    # per-query best-of across trials
+    best: dict[str, float] = {}
+    for timings, _ in trials:
+        for name, sec in timings.items():
+            if name not in best or sec < best[name]:
+                best[name] = sec
+    # pagerank stats from the trial with the best pagerank time
+    pr_best = min(trials, key=lambda t: t[0]["pagerank_1e6"])[1]["pagerank"]
 
     spark.stop()
-    total = round(sum(timings.values()), 3)
+    total = round(sum(best.values()), 3)
     return {
-        "metric": "headline suite seconds (pagerank@1e-6 + graph suite + pipeline ops)",
+        "metric": "headline suite seconds (pagerank@1e-6 + graph suite + pipeline ops; best-of-%d)" % n_trials,
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": best,
         "sf": sf,
         "cpus": cpus,
-        **extra,
+        "trials": [round(sum(t.values()), 3) for t, _ in trials],
+        "pagerank": pr_best,
     }
 
 

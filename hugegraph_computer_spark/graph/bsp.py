@@ -78,12 +78,18 @@ class SuperstepLoop:
         max_supersteps: int = 10,
         checkpoint_every: int = 1,
         snapshot_format: str = "parquet",
+        release_window: int | None = 2,
     ):
         self.spark = spark
         self.job_name = job_name
         self.dir = os.path.join(checkpoint_dir, job_name) if checkpoint_dir else None
         self.max_supersteps = max_supersteps
         self.checkpoint_every = max(1, checkpoint_every)
+        # how many non-durable localCheckpoints to keep pinned: 2 suffices
+        # for full-state algorithms (current + previous); None = keep ALL,
+        # for delta-layout algorithms whose state is the union of every
+        # superstep's frame (closeness unweighted) — released in cleanup()
+        self.release_window = release_window
         # The snapshot writer is a FORMAT SEAM, not a hardcoded call: every
         # durable write/read goes through .format(snapshot_format) — on a
         # cluster with the Iceberg runtime jar, snapshot_format="iceberg"
@@ -135,7 +141,10 @@ class SuperstepLoop:
             # lineage break without durable write
             out = state.localCheckpoint(eager=True)
             self._persisted.append(out)
-            if len(self._persisted) > 2:
+            if (
+                self.release_window is not None
+                and len(self._persisted) > self.release_window
+            ):
                 release_local_checkpoint(self._persisted.pop(0))
         return out
 

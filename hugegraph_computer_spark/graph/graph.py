@@ -130,6 +130,8 @@ class Graph:
         label_col: str | None = None,
         properties: list[str] | None = None,
         edge_freq: str | None = None,
+        props_combiner: str = "min",
+        order_col: str | None = None,
     ) -> "Graph":
         """Build a Graph from a raw (src, dst[, weight, label, props...])
         DataFrame.
@@ -153,17 +155,45 @@ class Graph:
         unknown vertices are dropped (FileGraphPartition.java:314-317) and
         isolated vertices are preserved.
         weight_agg: how duplicate-edge weights combine under dedup —
-        "max" | "min" | "sum" | "first"(min weight order for determinism);
-        other duplicate property/label values combine as per-column MIN —
-        deterministic analogues of the reference's properties combiners at
-        ingest (MergeNew/MergeOld/Overwrite, combiner/*.java; applied in
-        receiver/vertex/VertexMessageRecvPartition.java:38-70).
+        "max" | "min" | "sum" | "first"(min weight order for determinism).
+        props_combiner: how duplicate label/property values combine under
+        dedup — the reference's pluggable properties combiners at ingest
+        (combiner/MergeNewPropertiesCombiner.java,
+        MergeOldPropertiesCombiner.java, OverwriteCombiner; applied per
+        duplicate in receiver/vertex/VertexMessageRecvPartition.java:38-70
+        as combine(old, new)):
+
+        * "min" (default) — deterministic per-column MIN, orderless (the
+          engine's r2 behavior; no order column needed);
+        * "merge_new" — combine(old, new) keeps OLD values on conflict and
+          fills only missing keys from new ⇒ FIRST non-null per column;
+        * "merge_old" — old values are putIfAbsent'd into the NEW map ⇒
+          LAST non-null per column;
+        * "overwrite" — the new properties replace the old wholesale ⇒
+          the last duplicate's value, nulls included.
+
+        The reference's "old/new" is arrival order in the recv buffer —
+        nondeterministic under parallel ingest (its tests assert only the
+        merge rule). This engine makes the order EXPLICIT: the
+        first/last-style policies require ``order_col`` (ingest sequence,
+        timestamp, file row number), so results are reproducible under
+        any partitioning — same trade the deterministic LPA tie-break
+        makes. The symmetrized inverse copy carries the same order value,
+        so both directions merge identically.
         """
         freq = edge_freq or ("single" if dedup else "multiple")
         if freq not in ("single", "single_per_label", "multiple"):
             raise ValueError(f"unknown edge_freq {freq!r}")
         if freq == "single_per_label" and not label_col:
             raise ValueError("edge_freq='single_per_label' requires label_col")
+        if props_combiner not in ("min", "merge_new", "merge_old", "overwrite"):
+            raise ValueError(f"unknown props_combiner {props_combiner!r}")
+        if props_combiner != "min" and order_col is None:
+            raise ValueError(
+                f"props_combiner={props_combiner!r} needs order_col: the "
+                "reference's old/new is recv-buffer arrival order, which a "
+                "distributed dedup must pin to an explicit column"
+            )
         props = list(properties or [])
         cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
         if weight_col:
@@ -176,17 +206,20 @@ class Graph:
         for p in props:
             coerced = coerce_property_type(edges.schema[p].dataType, p)
             cols.append(F.col(p).cast(coerced) if coerced is not None else F.col(p))
+        if order_col is not None:
+            cols.append(F.col(order_col).cast("long").alias("__ord"))
         e = edges.select(*cols)
         extra = (
             (["weight"] if weight_col else [])
             + (["label"] if label_col else [])
             + props
         )
+        carry = extra + (["__ord"] if order_col is not None else [])
         if drop_self_loops:
             e = e.where(F.col("src") != F.col("dst"))
         if symmetrize:
             rev = [F.col("dst").alias("src"), F.col("src").alias("dst")] + [
-                F.col(c) for c in extra
+                F.col(c) for c in carry
             ]
             e = e.unionByName(e.select(*rev))
         if freq != "multiple":
@@ -195,7 +228,7 @@ class Graph:
             )
             value_cols = [c for c in extra if c not in keys]
             if not value_cols:
-                e = e.dropDuplicates(keys)
+                e = e.dropDuplicates(keys).select("src", "dst", *extra)
             else:
                 aggs = []
                 w_rules = {
@@ -204,14 +237,36 @@ class Graph:
                     "sum": F.sum("weight"),
                     "first": F.min("weight"),
                 }
+                ord_c = F.col("__ord") if order_col is not None else None
+
+                def prop_agg(c: str):
+                    """Reference properties-combiner parity, columnar form:
+                    merge_new keeps the FIRST non-null per column (old wins
+                    conflicts, new fills absent keys); merge_old the LAST
+                    non-null; overwrite the last duplicate's value, nulls
+                    included; "min" the orderless per-column MIN. Struct
+                    min/max orders by (__ord, value) — value only
+                    tie-breaks equal order ranks, deterministically."""
+                    col = F.col(c)
+                    pair = F.struct(ord_c.alias("o"), col.alias("v")) if ord_c is not None else None
+                    if props_combiner == "merge_new":
+                        return F.min(F.when(col.isNotNull(), pair))["v"].alias(c)
+                    if props_combiner == "merge_old":
+                        return F.max(F.when(col.isNotNull(), pair))["v"].alias(c)
+                    if props_combiner == "overwrite":
+                        return F.max(pair)["v"].alias(c)
+                    return F.min(c).alias(c)
+
                 for c in value_cols:
                     if c == "weight":
                         if weight_agg not in w_rules:
                             raise ValueError(f"unknown weight_agg {weight_agg!r}")
                         aggs.append(w_rules[weight_agg].alias("weight"))
                     else:
-                        aggs.append(F.min(c).alias(c))
+                        aggs.append(prop_agg(c))
                 e = e.groupBy(*keys).agg(*aggs).select("src", "dst", *extra)
+        elif order_col is not None:
+            e = e.select("src", "dst", *extra)
         if vertices is not None:
             v = vertices.select(F.col(vertices.columns[0]).cast("long").alias("vid"))
             v = v.dropDuplicates(["vid"])
@@ -361,6 +416,17 @@ def dense_ids(df: DataFrame, col: str, order: str = "lex") -> DataFrame:
     plain lexicographic — correct for fixed-width keys like the corpus's
     ``repo_%06d`` names, where the two orders coincide.
 
+    ``order="uuid"`` implements the third IdType (IdType.java:25-28,
+    LONG/UTF8/UUID): BytesId.of(UUID) serializes msb then lsb as 16
+    big-endian bytes (BytesId.java:79-92) and compares them UNSIGNED
+    byte-lexicographic (BytesUtil.compare via BytesId.compareTo:174-182)
+    — NOT java.util.UUID.compareTo's signed-long order, so a UUID whose
+    first byte is >= 0x80 sorts AFTER small ones, where signed order
+    would put it first. Sort key = the unhexed 16-byte binary of the
+    canonical hex form (Spark binary comparison is unsigned
+    lexicographic, exactly BytesUtil.compare); fixed 16-byte width makes
+    shortlex == lex here.
+
     Two distributed passes, Arrow end to end (an RDD ``zipWithIndex`` would
     push every row through Python serialization — measured 10x slower at
     10^6 keys): (1) range-partition + sort the distinct keys and count
@@ -376,6 +442,10 @@ def dense_ids(df: DataFrame, col: str, order: str = "lex") -> DataFrame:
         keys = [F.length(F.col("orig")), F.col("orig")]
     elif order == "lex":
         keys = [F.col("orig")]
+    elif order == "uuid":
+        # BytesId UUID order: the 16 raw bytes (msb,lsb big-endian),
+        # unsigned — unhex the canonical hex form and sort the binary
+        keys = [F.unhex(F.translate(F.lower(F.col("orig")), "-", ""))]
     else:
         raise ValueError(f"unknown order {order!r}")
     distinct = (

@@ -22,17 +22,30 @@ the reference's default behavior.
 
 Spark realization — delta-iterated long format instead of a per-vertex map
 (a MapType column would concentrate a hub's whole distance map in one row;
-the long format shards it across partitions):
+the long format shards it across partitions). TWO state layouts:
 
-    state(vid, start, dist, fresh)   -- settled minima; fresh = improved
-                                        last superstep (the frontier)
-    msgs  = frontier ⋈ edges → (dst, start, dist+w) [dst != start]
-            → groupBy(dst, start).min  -- ≡ per-(vertex,start) min-combine
-    improved = msgs ⟕ state  where new < settled (or unseen)
-    state = (state minus improved-keys) ∪ improved ; stop when none improved
+* UNWEIGHTED (incl. sampled) — every message at superstep s carries
+  distance s+1, so a (vid, start) pair's FIRST arrival is its minimum:
+  supersteps produce DISJOINT settled deltas, and the state is the
+  append-only list of delta frames. Per superstep only the new delta is
+  materialized — candidates anti-join the seen keys — instead of
+  rewriting the full O(k·V) state (VERDICT r2 stretch #10; the r1/r2
+  full-outer merge rewrote everything every superstep).
 
-Each superstep is one materialization (Observation carries the improved
-count); snapshots/resume via SuperstepLoop like every other algorithm.
+      delta_s = (frontier ⋈ edges → groupBy(vid,start).min)
+                ⟕anti (∪ delta_0..s-1 keys);  frontier := delta_s
+
+* WEIGHTED — Bellman-Ford relaxation can improve a settled pair, so the
+  full state is merged per superstep:
+
+      state(vid, start, dist, fresh)   -- settled minima; fresh = frontier
+      cand = frontier ⋈ edges → groupBy(dst,start).min(dist+w)
+      state = state ⟗ cand (full outer, least()); stop when none improved
+
+Each superstep is one materialization (Observation carries the delta /
+improved count); snapshots/resume via SuperstepLoop — the unweighted
+layout snapshots each DELTA (resume unions completed steps), the weighted
+layout snapshots the full state.
 """
 
 from __future__ import annotations
@@ -74,8 +87,6 @@ def closeness_centrality(
     reference's sampled mode.
     """
     spark = graph.edges.sparkSession
-    loop = SuperstepLoop(spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every)
-
     edges = graph.edges
     w = (
         F.coalesce(F.col("weight"), F.lit(1.0))
@@ -91,6 +102,21 @@ def closeness_centrality(
     else:
         src_set = None
 
+    if not weighted:
+        # delta layout: EVERY superstep's frame stays pinned until the
+        # final union (release_window=None), released in cleanup()
+        loop = SuperstepLoop(
+            spark, job_name, checkpoint_dir, max_supersteps,
+            checkpoint_every, release_window=None,
+        )
+        return _closeness_unweighted_delta(
+            graph, edges, src_set, sample_rate, max_supersteps,
+            loop, resume, round_to,
+        )
+
+    loop = SuperstepLoop(
+        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every
+    )
     start = 1
     state = None
     if resume:
@@ -171,6 +197,93 @@ def closeness_centrality(
 
     loop.cleanup()
     return _finish(graph, state, round_to)
+
+
+def _closeness_unweighted_delta(
+    graph: Graph,
+    edges: DataFrame,
+    src_set: DataFrame | None,
+    sample_rate: float,
+    max_supersteps: int,
+    loop: SuperstepLoop,
+    resume: bool,
+    round_to: int,
+) -> DataFrame:
+    """Unweighted fast path: append-only settled deltas (disjoint per
+    superstep — first arrival is the minimum hop distance, with or
+    without spread sampling, because every superstep-s message carries
+    distance s+1). Durable snapshots store each delta; resume unions the
+    completed steps and continues from the deepest."""
+    deltas: list[DataFrame] = []
+    start = 1
+    if resume:
+        steps = loop.completed_steps()
+        if steps:
+            deltas = [loop.read_step(k) for k in steps]
+            start = steps[-1] + 1
+
+    if not deltas:
+        seed = edges.select(
+            F.col("src").alias("start"), F.col("dst").alias("vid")
+        )
+        if src_set is not None:
+            seed = seed.join(
+                src_set.select(F.col("vid").alias("start")), "start", "inner"
+            )
+        first = (
+            seed.where(F.col("vid") != F.col("start"))
+            .dropDuplicates(["vid", "start"])
+            .select("vid", "start", F.lit(1.0).alias("dist"))
+        )
+        deltas = [loop.save(0, first, {"delta": -1}, {"supersteps": 0})]
+
+    frontier = deltas[-1]
+    for s in range(start, max_supersteps):
+        t0 = time.time()
+        scatter = frontier.join(edges, frontier["vid"] == edges["src"]).where(
+            F.col("dst") != F.col("start")
+        )
+        if sample_rate < 1.0:
+            gate = F.pmod(
+                F.xxhash64(F.col("src"), F.col("dst"), F.col("start"), F.lit(s)),
+                F.lit(1_000_000),
+            )
+            scatter = scatter.where(gate < F.lit(int(sample_rate * 1_000_000)))
+        cand = (
+            scatter.select(
+                F.col("dst").alias("vid"), "start",
+                (F.col("dist") + 1.0).alias("dist"),
+            )
+            .dropDuplicates(["vid", "start"])
+        )
+        seen = deltas[0].select("vid", "start")
+        for d in deltas[1:]:
+            seen = seen.unionByName(d.select("vid", "start"))
+        obs = Observation(f"{loop.job_name}_s{s}")
+        new_delta = loop.materialize(
+            s,
+            cand.join(seen, ["vid", "start"], "left_anti").observe(
+                obs, F.count(F.lit(1)).alias("c")
+            ),
+        )
+        n = int(obs.get["c"] or 0)
+        if n == 0:
+            loop.discard_step(s)
+            break
+        loop.commit(s, {"delta": n}, {"supersteps": s, "sec": time.time() - t0})
+        deltas.append(new_delta)
+        frontier = new_delta
+
+    state = deltas[0]
+    for d in deltas[1:]:
+        state = state.unionByName(d)
+    out = _finish(graph, state, round_to)
+    # copy the result out so the per-superstep delta checkpoints can be
+    # released (they ARE the state here, unlike the weighted layout where
+    # cleanup(keep_last) suffices)
+    out = out.localCheckpoint(eager=True)
+    loop.cleanup(keep_last=False)
+    return out
 
 
 def _finish(graph: Graph, state: DataFrame, round_to: int) -> DataFrame:

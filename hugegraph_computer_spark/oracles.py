@@ -1059,3 +1059,58 @@ SELECT asset_id,
        {dim}::BIGINT AS dim
 FROM comp GROUP BY asset_id
 """
+
+
+def edge_props_policy_sql() -> str:
+    """SQL twin of Graph.from_edges' properties-combiner policies over
+    sources.lineitem_ordered_prop_edges: per (src,dst) after symmetrize,
+    merge_new = qty at the FIRST non-null ingest rank (combine(old,new)
+    keeps old — MergeNewPropertiesCombiner.java), merge_old = qty at the
+    LAST non-null rank (MergeOldPropertiesCombiner.java), overwrite = the
+    last duplicate's qty nulls included (OverwriteCombiner), min = the
+    engine's orderless default. ord is the portable 60-bit md5 of the
+    full row key (unique per row — the testdata repeats (orderkey,
+    linenumber)), so first/last are well-defined in both engines."""
+    return """
+WITH raw AS MATERIALIZED (
+  SELECT (l_partkey % 50)::BIGINT AS src,
+         (100 + l_suppkey % 50)::BIGINT AS dst,
+         ('0x' || substr(md5(l_orderkey || ':' || l_linenumber || ':' ||
+                             l_partkey || ':' || l_suppkey), 1, 15))::BIGINT AS ord,
+         CASE WHEN l_quantity % 10 <> 0 THEN l_quantity::DOUBLE END AS qty
+  FROM lineitem
+),
+sym AS MATERIALIZED (
+  SELECT src, dst, ord, qty FROM raw
+  UNION ALL SELECT dst AS src, src AS dst, ord, qty FROM raw
+),
+base AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+nn AS MATERIALIZED (
+  SELECT src, dst, MIN(ord) AS fo, MAX(ord) AS lo
+  FROM sym WHERE qty IS NOT NULL GROUP BY src, dst
+),
+lastrow AS MATERIALIZED (SELECT src, dst, MAX(ord) AS mo FROM sym GROUP BY src, dst),
+mn AS MATERIALIZED (
+  SELECT n.src, n.dst, r.qty FROM nn n
+  JOIN sym r ON r.src = n.src AND r.dst = n.dst AND r.ord = n.fo
+),
+mo AS MATERIALIZED (
+  SELECT n.src, n.dst, r.qty FROM nn n
+  JOIN sym r ON r.src = n.src AND r.dst = n.dst AND r.ord = n.lo
+),
+ov AS MATERIALIZED (
+  SELECT l.src, l.dst, r.qty FROM lastrow l
+  JOIN sym r ON r.src = l.src AND r.dst = l.dst AND r.ord = l.mo
+),
+mi AS MATERIALIZED (SELECT src, dst, MIN(qty) AS qty FROM sym GROUP BY src, dst)
+SELECT b.src, b.dst,
+       ROUND(mn.qty, 6) AS qty_merge_new,
+       ROUND(mo.qty, 6) AS qty_merge_old,
+       ROUND(ov.qty, 6) AS qty_overwrite,
+       ROUND(mi.qty, 6) AS qty_min
+FROM base b
+LEFT JOIN mn ON b.src = mn.src AND b.dst = mn.dst
+LEFT JOIN mo ON b.src = mo.src AND b.dst = mo.dst
+LEFT JOIN ov ON b.src = ov.src AND b.dst = ov.dst
+LEFT JOIN mi ON b.src = mi.src AND b.dst = mi.dst
+"""

@@ -159,3 +159,34 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(NATION_OFFSET) + F.col("n_regionkey")).cast("long").alias("dst"),
     )
     return sup.unionByName(nat)
+
+
+def lineitem_ordered_prop_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, ord, qty) with DUPLICATE (src,dst) pairs at different
+    ingest ranks — the properties-combiner gate input. src/dst fold part
+    and supplier keys into a small id space so duplicates are guaranteed;
+    ``ord`` is a deterministic per-row ingest rank and ``qty`` a property
+    made NULLABLE on a value-based rule, so merge_new / merge_old /
+    overwrite / min all produce DIFFERENT merged values (the oracle
+    distinguishes the policies)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
+    )
+    # ingest rank = portable 60-bit md5 of the full row key — unique per
+    # row (the testdata repeats (orderkey, linenumber)!), deterministic,
+    # and bit-equal in DuckDB ('0x'||substr(md5(...),1,15))::BIGINT
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+    )
+    return li.select(
+        (F.col("l_partkey") % 50).cast("long").alias("src"),
+        (F.lit(100) + F.col("l_suppkey") % 50).cast("long").alias("dst"),
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long").alias("ord"),
+        # qty NULL whenever quantity is a multiple of 10: exercises the
+        # null-filling difference between merge_* and overwrite
+        F.when(F.col("l_quantity") % 10 != 0, F.col("l_quantity").cast("double")).alias("qty"),
+    )

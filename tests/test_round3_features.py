@@ -175,3 +175,119 @@ def test_multimodal_features_match_duckdb_family(spark):
     con = duckdb.connect()
     hex0 = con.execute("select repeat(sha256('42:0'), 8)").fetchone()[0]
     assert hex0 == (hashlib.sha256(b"42:0").digest() * 8).hex()
+
+
+# ---------------------------------------------- path-flood family: resume
+import os
+import shutil
+
+from hugegraph_computer_spark.graph.graph import Graph
+from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
+from hugegraph_computer_spark.operators.links import links
+from hugegraph_computer_spark.operators.rings import rings_detection
+
+
+def _ring_graph(spark):
+    # 6-cycle plus a chord: several supersteps of flooding, a few rings
+    rows = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1), (2, 5)]
+    return Graph.from_edges(
+        spark.createDataFrame(rows, "src long, dst long")
+    )
+
+
+def _drop_last_step(ck_root: str, job: str, n: int = 1) -> None:
+    d = os.path.join(ck_root, job)
+    steps = sorted(
+        os.listdir(d), key=lambda s: int(s.split("=", 1)[1])
+    )
+    assert len(steps) >= n + 1, f"expected >= {n+1} snapshots in {job}: {steps}"
+    for s in steps[-n:]:
+        shutil.rmtree(os.path.join(d, s))
+
+
+def test_rings_resume_bit_identical(spark, tmp_path):
+    g = _ring_graph(spark)
+    ck = str(tmp_path / "rings")
+    full = sorted(
+        (r["vid"], tuple(r["ring"]))
+        for r in rings_detection(g, checkpoint_dir=ck).collect()
+    )
+    # crash simulation: lose the last two in-flight path snapshots (the
+    # recorded-ring deltas for those supersteps stay on disk and must be
+    # ignored + overwritten by the replay)
+    _drop_last_step(ck, "rings_paths", n=2)
+    resumed = sorted(
+        (r["vid"], tuple(r["ring"]))
+        for r in rings_detection(g, checkpoint_dir=ck, resume=True).collect()
+    )
+    assert resumed == full and len(full) > 0
+
+
+def test_links_resume_bit_identical(spark, tmp_path):
+    g = _ring_graph(spark)
+    ck = str(tmp_path / "links")
+    kw = dict(
+        start_cond="vid <= 2",
+        spread_cond="dst > src",
+        end_vertex_cond="vid >= 5",
+        checkpoint_dir=ck,
+    )
+    full = sorted(
+        (r["vid"], tuple(r["path"])) for r in links(g, **kw).collect()
+    )
+    _drop_last_step(ck, "links_paths", n=1)
+    resumed = sorted(
+        (r["vid"], tuple(r["path"]))
+        for r in links(g, resume=True, **kw).collect()
+    )
+    assert resumed == full and len(full) > 0
+
+
+def test_betweenness_resume_bit_identical(spark, tmp_path):
+    g = _ring_graph(spark)
+    ck = str(tmp_path / "btw")
+    full = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(g, checkpoint_dir=ck).collect()
+    }
+    _drop_last_step(ck, "betweenness_centrality_levels", n=1)
+    resumed = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(g, checkpoint_dir=ck, resume=True).collect()
+    }
+    assert resumed == full and any(v > 0 for v in full.values())
+
+
+# ------------------------------------------- properties-combiner policies
+def test_props_combiner_policies(spark):
+    # duplicates of edge (1,2) with an explicit ingest rank and nulls:
+    #   ord 1: NULL, ord 2: 'b', ord 3: 'a', ord 4: NULL
+    rows = [
+        (1, 2, 1, None),
+        (1, 2, 2, "b"),
+        (1, 2, 3, "a"),
+        (1, 2, 4, None),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, ord long, p string")
+
+    def merged(**kw):
+        g = Graph.from_edges(e, properties=["p"], **kw)
+        return {
+            (r["src"], r["dst"]): r["p"] for r in g.edges.collect()
+        }[(1, 2)]
+
+    # reference parity: combine(old, new) — MergeNew keeps old values on
+    # conflict (first non-null), MergeOld keeps new (last non-null),
+    # Overwrite takes the last duplicate wholesale (nulls included)
+    assert merged() == "a"  # default orderless per-column MIN
+    assert merged(props_combiner="merge_new", order_col="ord") == "b"
+    assert merged(props_combiner="merge_old", order_col="ord") == "a"
+    assert merged(props_combiner="overwrite", order_col="ord") is None
+
+
+def test_props_combiner_requires_order(spark):
+    e = spark.createDataFrame([(1, 2, "x")], "src long, dst long, p string")
+    with pytest.raises(ValueError):
+        Graph.from_edges(e, properties=["p"], props_combiner="merge_new")
+    with pytest.raises(ValueError):
+        Graph.from_edges(e, properties=["p"], props_combiner="bogus", order_col="p")
