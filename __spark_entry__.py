@@ -71,6 +71,7 @@ from hugegraph_computer_spark.sources.tpch_graph import (
     customer_supplier_weighted,
     hierarchy_edges,
     hierarchy_edges_string_ids,
+    hierarchy_edges_uuid_ids,
     lineitem_ordered_prop_edges,
     nation_same_region_edges,
     nation_same_region_weighted,
@@ -283,6 +284,38 @@ def q_wcc_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wcc_uuid_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUID id semantics end to end (IdType.java:25-28 — the third id
+    type): md5-derived uuid vertex ids dense-encoded in the reference's
+    BytesId UUID order — UNSIGNED 16-byte big-endian byte order
+    (BytesId.java:79-92, compareTo:174-182), not java.util.UUID's
+    signed-long order — so WCC's min-vid component decodes to the
+    byte-order-min reachable uuid."""
+    e = hierarchy_edges_uuid_ids(spark, sf_dir)
+    ids = dense_ids(
+        e.select(F.col("src_id").alias("r")).unionByName(
+            e.select(F.col("dst_id").alias("r"))
+        ),
+        "r",
+        order="uuid",
+    )
+    src_ids = ids.select(F.col("orig").alias("src_id"), F.col("vid").alias("src"))
+    dst_ids = ids.select(F.col("orig").alias("dst_id"), F.col("vid").alias("dst"))
+    g = Graph.from_edges(
+        e.join(src_ids, "src_id").join(dst_ids, "dst_id").select("src", "dst")
+    )
+    comp = wcc(g)
+    vid_names = ids.select(F.col("vid"), F.col("orig").alias("id"))
+    comp_names = ids.select(
+        F.col("vid").alias("component"), F.col("orig").alias("component_name")
+    )
+    return (
+        comp.join(vid_names, "vid")
+        .join(comp_names, "component")
+        .select("id", F.col("component_name").alias("component"))
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -452,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_centrality": q_betweenness,
         "betweenness_tree": q_betweenness_tree,
         "wcc_string_ids": q_wcc_string_ids,
+        "wcc_uuid_ids": q_wcc_uuid_ids,
         # --- training-data pipeline: dedup ---
         "exact_dedup": q_exact_dedup,
         "minhash_bands": q_minhash_bands,
@@ -505,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_tree": oracles.betweenness_tree_sql(),
         "coreness": oracles.coreness_sql(),
         "wcc_string_ids": oracles.wcc_string_ids_sql(),
+        "wcc_uuid_ids": oracles.wcc_uuid_ids_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),

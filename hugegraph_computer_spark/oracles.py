@@ -235,6 +235,47 @@ SELECT vid AS id, r AS component FROM (
 """
 
 
+def wcc_uuid_ids_sql() -> str:
+    """WCC over the hierarchy forest with md5-derived UUID vertex ids;
+    the component label is the BYTE-ORDER-minimum reachable uuid —
+    BytesId serializes a UUID as 16 big-endian bytes (msb,lsb;
+    BytesId.java:79-92) and compares unsigned (compareTo:174-182).
+    For canonical lowercase-hex uuids, unsigned byte order equals plain
+    string order (hex digits are monotone in byte value and the dashes
+    sit at fixed positions), so the oracle's ORDER BY r is exactly the
+    reference's order — while java.util.UUID.compareTo (signed longs)
+    would disagree on ~half of these md5-uniform ids. Twin of
+    dense_ids(order='uuid') + wcc + decode."""
+    def u(x: str) -> str:
+        h = f"md5('uuid:' || {x})"
+        return (
+            f"substr({h},1,8)||'-'||substr({h},9,4)||'-'||substr({h},13,4)"
+            f"||'-'||substr({h},17,4)||'-'||substr({h},21,12)"
+        )
+
+    return f"""
+WITH RECURSIVE raw AS MATERIALIZED (
+  SELECT 200 + s_suppkey AS a, s_nationkey::BIGINT AS b FROM supplier
+  UNION ALL
+  SELECT n_nationkey AS a, 100 + n_regionkey AS b FROM nation
+),
+e0 AS MATERIALIZED (
+  SELECT {u('a')} AS src, {u('b')} AS dst FROM raw
+),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e),
+reach(vid, r) AS (
+  SELECT vid, vid FROM v
+  UNION
+  SELECT reach.vid, e.dst FROM reach JOIN e ON reach.r = e.src
+)
+SELECT vid AS id, r AS component FROM (
+  SELECT vid, r, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY r) AS rn
+  FROM reach
+) WHERE rn = 1
+"""
+
+
 def corpus_edges_sql(
     n_repos: int = 200,
     files_per_repo: int = 4,

@@ -143,6 +143,36 @@ def hierarchy_edges_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.unionByName(nat)
 
 
+def _uuid_of(col):
+    """Deterministic UUID-shaped id from a key: md5 hex grouped
+    8-4-4-4-12 (lowercase — canonical form). md5 is engine-portable, so
+    DuckDB derives identical uuids; uniform hex means ~half the ids have
+    a first byte >= 0x80, exercising the UNSIGNED byte order that
+    distinguishes BytesId's UUID comparison (BytesUtil.compare on the
+    msb/lsb big-endian bytes, BytesId.java:79-92,174-182) from
+    java.util.UUID.compareTo's signed-long order."""
+    h = F.md5(F.concat(F.lit("uuid:"), col.cast("string")))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def hierarchy_edges_uuid_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier—nation—region forest with UUID vertex ids — the third
+    IdType (IdType.java:25-28). Ids are md5-derived from the long vids of
+    ``hierarchy_edges`` so both engines synthesize the same uuids."""
+    e = hierarchy_edges(spark, sf_dir)
+    return e.select(
+        _uuid_of(F.col("src")).alias("src_id"),
+        _uuid_of(F.col("dst")).alias("dst_id"),
+    )
+
+
 def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier—nation ∪ nation—region forest (one tree per region).
 

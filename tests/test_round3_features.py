@@ -291,3 +291,47 @@ def test_props_combiner_requires_order(spark):
         Graph.from_edges(e, properties=["p"], props_combiner="merge_new")
     with pytest.raises(ValueError):
         Graph.from_edges(e, properties=["p"], props_combiner="bogus", order_col="p")
+
+
+# ---------------------------------------------------- UUID id type parity
+def test_uuid_dense_ids_unsigned_byte_order(spark):
+    """BytesId UUID parity: comparison is UNSIGNED byte order over the 16
+    big-endian (msb,lsb) bytes (BytesId.java:79-92, compareTo:174-182) —
+    java.util.UUID.compareTo's SIGNED-long order would rank the 0x80/0xff
+    msb ids FIRST (negative); the reference ranks them last."""
+    from hugegraph_computer_spark.graph.graph import dense_ids
+
+    rows = [
+        ("ffffffff-0000-0000-0000-000000000001",),
+        ("0fffffff-0000-0000-0000-000000000002",),
+        ("80000000-0000-0000-0000-000000000003",),
+        ("00000000-0000-0000-0000-00000000000a",),
+    ]
+    out = dense_ids(
+        spark.createDataFrame(rows, "u string"), "u", order="uuid"
+    ).orderBy("vid").collect()
+    assert [r["orig"][:2] for r in out] == ["00", "0f", "80", "ff"]
+    # signed-long order (java.util.UUID.compareTo) would instead yield:
+    signed = sorted(
+        (r[0] for r in rows),
+        key=lambda s: int.from_bytes(bytes.fromhex(s.replace("-", ""))[:8],
+                                     "big", signed=True),
+    )
+    assert [s[:2] for s in signed] == ["80", "ff", "00", "0f"]
+
+
+def test_wcc_uuid_ids_gate_matches_oracle(spark):
+    import __spark_entry__ as entry
+    from hugegraph_computer_spark import oracles
+
+    got = {
+        r["id"]: r["component"]
+        for r in entry.q_wcc_uuid_ids(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    for t in ("supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = {r[0]: r[1] for r in con.execute(oracles.wcc_uuid_ids_sql()).fetchall()}
+    assert got == want and len(got) > 0
