@@ -31,11 +31,13 @@ from hugegraph_computer_spark.operators import (
     coreness,
     closeness_centrality,
     links,
+    links_from_describe,
     clustering_coefficient,
     degree_centrality,
     lpa,
     pagerank,
     rings_count,
+    rings_detection_with_filter,
     triangle_count,
     wcc,
 )
@@ -74,7 +76,9 @@ from hugegraph_computer_spark.sources.tpch_graph import (
     hierarchy_edges_uuid_ids,
     lineitem_ordered_prop_edges,
     nation_same_region_edges,
+    nation_same_region_labeled,
     nation_same_region_weighted,
+    nation_vertex_props,
 )
 from hugegraph_computer_spark.graph.graph import dense_ids
 
@@ -203,6 +207,57 @@ def q_links_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_cond="dst > src AND weight >= 2",
         end_vertex_cond="vid >= 15",
     )
+    return out.select("vid", F.concat_ws("-", F.col("path")).alias("path_str"))
+
+
+def q_rings_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RingsDetectionWithFilter driven by the reference's EXACT JSON
+    property-filter DSL (rings/filter/RingsDetectionFilterDescribe.java;
+    Aviator leaves compiled to SQL by operators.path_filter): vertex
+    filter on vertex props, edge filter comparing the candidate edge
+    against the walk's previous edge via $message (round-3 syntax-parity
+    closure of the r2 'semantics covered, syntax not' deviation)."""
+    describe = """{
+        "vertex_filter": [
+            {"label": "user", "property_filter": "$element.weight < 2"}
+        ],
+        "edge_filter": [
+            {"label": "pay",
+             "property_filter": "$message.weight <= $element.weight"}
+        ]
+    }"""
+    g = Graph.from_edges(
+        nation_same_region_labeled(spark, sf_dir),
+        weight_col="weight",
+        label_col="label",
+    )
+    out = rings_detection_with_filter(
+        g, describe, vertex_props=nation_vertex_props(spark, sf_dir)
+    )
+    return out.select("vid", F.concat_ws("-", F.col("ring")).alias("ring_str"))
+
+
+def q_links_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Links driven by the reference's EXACT ``links.analyze_config``
+    JSON describe (LinksConditionDescribe.java; shaped like the
+    reference's own LinksTest.java:119-138): label-only first-hop
+    spread, $out/$in previous-edge comparison carried on the path
+    state, end-edge recording at the current vertex."""
+    describe = """{
+        "start_vertexes": ["0", "1", "2", "3", "4"],
+        "edge_end_condition": {
+            "label": "pay", "property_filter": "double($out.weight) >= 5"
+        },
+        "edge_compare_condition": {
+            "label": "pay", "property_filter": "$out.weight > $in.weight"
+        }
+    }"""
+    g = Graph.from_edges(
+        nation_same_region_labeled(spark, sf_dir),
+        weight_col="weight",
+        label_col="label",
+    )
+    out = links_from_describe(g, describe)
     return out.select("vid", F.concat_ws("-", F.col("path")).alias("path_str"))
 
 
@@ -480,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rings_count": q_rings,
         "links": q_links,
         "links_weighted": q_links_weighted,
+        "rings_filter_dsl": q_rings_filter_dsl,
+        "links_filter_dsl": q_links_filter_dsl,
         "degree_per_label": q_degree_per_label,
         "edge_props_policy": q_edge_props_policy,
         "betweenness_centrality": q_betweenness,
@@ -540,6 +597,8 @@ def oracle_sql() -> dict[str, str]:
         "coreness": oracles.coreness_sql(),
         "wcc_string_ids": oracles.wcc_string_ids_sql(),
         "wcc_uuid_ids": oracles.wcc_uuid_ids_sql(),
+        "rings_filter_dsl": oracles.rings_filter_dsl_sql(),
+        "links_filter_dsl": oracles.links_filter_dsl_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_bands": oracles.minhash_bands_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),

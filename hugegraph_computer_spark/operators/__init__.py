@@ -12,8 +12,12 @@ from hugegraph_computer_spark.operators.triangle import triangle_count
 from hugegraph_computer_spark.operators.degree import degree_centrality
 from hugegraph_computer_spark.operators.clustering import clustering_coefficient
 from hugegraph_computer_spark.operators.closeness import closeness_centrality
-from hugegraph_computer_spark.operators.rings import rings_detection, rings_count
-from hugegraph_computer_spark.operators.links import links
+from hugegraph_computer_spark.operators.rings import (
+    rings_detection,
+    rings_detection_with_filter,
+    rings_count,
+)
+from hugegraph_computer_spark.operators.links import links, links_from_describe
 from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
 from hugegraph_computer_spark.operators.kcore import coreness
 
@@ -40,8 +44,10 @@ __all__ = [
     "clustering_coefficient",
     "closeness_centrality",
     "rings_detection",
+    "rings_detection_with_filter",
     "rings_count",
     "links",
+    "links_from_describe",
     "betweenness_centrality",
     "coreness",
     "ALGORITHMS",

@@ -38,6 +38,9 @@ def links(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     job_name: str = "links",
+    spread_cond0: str | None = None,
+    carry_props: tuple[str, ...] | list[str] = (),
+    vertex_props: DataFrame | None = None,
 ) -> DataFrame:
     """Run Links; returns ``(vid long, path array<long>)`` — one row per
     recorded path, anchored at the vertex that recorded it (the end vertex,
@@ -48,11 +51,48 @@ def links(
     in-flight paths snapshot under ``{dir}/{job}_paths``, per-superstep
     recorded-path deltas under ``{dir}/{job}_out``; a delta is written
     before its superstep's path commit, so a kill replays at most one
-    superstep (idempotent overwrite)."""
+    superstep (idempotent overwrite).
+
+    DSL-parity extensions (links/LinksSpreadFilter.java, driven by
+    :func:`links_from_describe`):
+
+    * ``spread_cond0`` — condition for the FIRST hop only (the reference
+      spreads from a start vertex on a label-equality check alone,
+      isEdgeCanSpread0:120-122); ``None`` falls back to ``spread_cond``.
+    * ``carry_props`` — edge property names carried along each path as
+      ``in_<prop>`` columns (``message.walkEdgeProp``), so
+      ``spread_cond`` can compare the current edge against the previous
+      one (``$out.weight > $in.weight``). First-hop rows have NULL
+      ``in_*`` (no previous edge) — only ``spread_cond0`` sees them.
+    * ``vertex_props`` — optional ``(vid, label?, props...)`` frame;
+      when given, ``start_cond`` and ``end_vertex_cond`` may reference
+      its columns (left-joined on vid; missing vertices evaluate NULL →
+      not matched, like an absent property in Aviator)."""
     spark = graph.edges.sparkSession
     loop_paths = SuperstepLoop(spark, f"{job_name}_paths", checkpoint_dir, max_supersteps)
     loop_out = SuperstepLoop(spark, f"{job_name}_out", checkpoint_dir, max_supersteps)
     edges = graph.edges
+    carry = list(carry_props)
+    missing = [p for p in carry if p not in edges.columns]
+    if missing:
+        raise ValueError(f"carry_props not in edge columns: {missing}")
+    edge_dtypes = dict(edges.dtypes)
+    in_cols = [f"in_{p}" for p in carry]
+
+    def vsplit(df: DataFrame, cond: str) -> tuple[DataFrame, DataFrame]:
+        """(rows matching the vertex condition, rows not matching) with
+        vertex_props visible to the condition but not in the output; a
+        NULL condition value (vertex absent from vertex_props / property
+        missing) counts as not-matching, like Aviator on a missing key."""
+        keep = df.columns
+        if vertex_props is not None:
+            vp = vertex_props.withColumnRenamed(vertex_props.columns[0], "vid")
+            df = df.join(vp, "vid", "left")
+        c = F.expr(cond)
+        return (
+            df.where(c).select(*keep),
+            df.where(~F.coalesce(c, F.lit(False))).select(*keep),
+        )
 
     deltas: list[DataFrame] = []
     local_deltas: list[DataFrame] = []
@@ -79,16 +119,23 @@ def links(
         # vertex never records [self]; the semi-join against edge sources
         # replicates that (matters only when an explicit vertices DF adds
         # isolated ids).
-        start = (
-            graph.vertices()
-            .join(edges.select(F.col("src").alias("vid")), "vid", "left_semi")
-            .where(F.expr(start_cond))
-            .select("vid", F.array("vid").alias("path"))
+        start_all, _ = vsplit(
+            graph.vertices().join(
+                edges.select(F.col("src").alias("vid")), "vid", "left_semi"
+            ),
+            start_cond,
         )
+        start = start_all.select("vid", F.array("vid").alias("path"))
         # a start vertex that is itself an end vertex records [self] and
         # stops (compute0 -> isEndVertexAndSaveValue short-circuit)
-        record(0, start.where(F.expr(end_vertex_cond)).select("vid", "path"))
-        live = start.where(~F.expr(end_vertex_cond))
+        ended0, live = vsplit(start, end_vertex_cond)
+        record(0, ended0)
+        live = live.select(
+            "vid", "path",
+            # no previous edge on the first hop — NULL in_* (only
+            # spread_cond0 ever sees these rows)
+            *[F.lit(None).cast(edge_dtypes[p]).alias(f"in_{p}") for p in carry],
+        )
         paths = loop_paths.materialize(0, live)
         loop_paths.commit(0, {})
 
@@ -97,26 +144,37 @@ def links(
             edges["src"], edges["dst"],
             *[edges[c] for c in edges.columns if c not in ("src", "dst")],
             paths["path"],
+            *[paths[ic] for ic in in_cols],
         )
         # end-edge: record path + target at the CURRENT vertex
+        is_end_edge = F.coalesce(F.expr(end_edge_cond), F.lit(False))
         edge_ended = (
-            stepped.where(F.expr(end_edge_cond))
+            stepped.where(is_end_edge)
             .select(
                 F.col("src").alias("vid"),
                 F.concat("path", F.array(F.col("dst"))).alias("path"),
             )
         )
+        # first hop spreads under spread_cond0 (reference: label-only
+        # isEdgeCanSpread0), later hops under spread_cond which may read
+        # the carried previous-edge in_* columns
+        if spread_cond0 is None:
+            can_spread = F.expr(spread_cond)
+        else:
+            can_spread = F.when(
+                F.size("path") == 1, F.expr(spread_cond0)
+            ).otherwise(F.expr(spread_cond))
         moved = (
-            stepped.where(~F.expr(end_edge_cond) & F.expr(spread_cond))
+            stepped.where(~is_end_edge & F.coalesce(can_spread, F.lit(False)))
             .select(
                 F.col("dst").alias("vid"),
                 F.concat("path", F.array(F.col("dst"))).alias("path"),
+                *[edges[p].alias(f"in_{p}") for p in carry],
             )
         )
         # end-vertex: record at the arriving vertex; others stay live
-        vertex_ended = moved.where(F.expr(end_vertex_cond))
-        live = moved.where(~F.expr(end_vertex_cond))
-        record(s, edge_ended.unionByName(vertex_ended))
+        vertex_ended, live = vsplit(moved, end_vertex_cond)
+        record(s, edge_ended.unionByName(vertex_ended.select("vid", "path")))
         obs = Observation(f"{job_name}_s{s}")
         paths = loop_paths.materialize(
             s, live.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -136,3 +194,33 @@ def links(
     loop_paths.cleanup(keep_last=False)
     loop_out.cleanup(keep_last=False)
     return out
+
+
+def links_from_describe(
+    graph: Graph,
+    describe: str | dict,
+    vertex_props: DataFrame | None = None,
+    **kw,
+) -> DataFrame:
+    """Run Links from the reference's exact ``links.analyze_config`` JSON
+    describe (LinksConditionDescribe.java): ``start_vertexes`` +
+    ``vertex_end_condition`` / ``edge_end_condition`` /
+    ``edge_compare_condition`` with Aviator ``$out`` / ``$in`` /
+    ``$element`` leaf expressions, compiled to JVM-side SQL by
+    :mod:`path_filter` and executed by :func:`links` (including the
+    reference's label-only first-hop spread and the previous-edge
+    property carry)."""
+    from hugegraph_computer_spark.operators.path_filter import LinksConditions
+
+    c = LinksConditions(describe)
+    return links(
+        graph,
+        start_cond=c.start_cond(),
+        spread_cond=c.spread_cond(),
+        spread_cond0=c.spread_cond0(),
+        end_vertex_cond=c.end_vertex_cond(),
+        end_edge_cond=c.end_edge_cond(),
+        carry_props=c.carry_props,
+        vertex_props=vertex_props,
+        **kw,
+    )

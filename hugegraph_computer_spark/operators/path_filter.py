@@ -1,0 +1,295 @@
+"""The reference's JSON property-filter DSL for the path algorithms.
+
+RingsDetectionWithFilter and Links configure their spread/end predicates
+as JSON documents whose leaf expressions are Aviator boolean expressions
+over property maps (rings/filter/RingsDetectionFilterDescribe.java,
+rings/filter/RingsDetectionSpreadFilter.java:38-155,
+links/LinksConditionDescribe.java, links/LinksSpreadFilter.java:41-155).
+Round 2 covered the *semantics* with raw Spark-SQL condition strings;
+this module closes the syntax gap: it parses the reference's exact JSON
+shape and compiles the Aviator subset the reference exercises into ANSI
+boolean SQL usable by both Spark (`F.expr`) and the DuckDB oracles.
+
+Aviator namespaces (SpreadFilter.java constants):
+
+* ``$element`` — the vertex/edge under test (rings)
+* ``$message`` — the walk's previous edge properties (rings; stripped
+  when filtering an edge with no message in flight —
+  RingsDetectionSpreadFilter.filter(Edge):84-99)
+* ``$out`` / ``$in`` — current / previous edge properties (links)
+
+Supported Aviator surface (everything the reference's own tests and doc
+examples use): ``== != < <= > >= && || !``, arithmetic ``+ - * / %``,
+parentheses, numeric/string/bool/nil literals, and the numeric cast
+builtins ``double(x)`` / ``long(x)``. Anything else raises — better a
+loud error than silently-different predicate semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from typing import Callable
+
+__all__ = [
+    "aviator_to_sql",
+    "RingsFilter",
+    "LinksConditions",
+]
+
+_TOKEN = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<ns>\$[a-z]+\.[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<num>\d+\.\d+|\d+)
+      | (?P<str>'[^']*'|"[^"]*")
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op>==|!=|<=|>=|&&|\|\||[()<>+\-*/%!])
+    """,
+    re.X,
+)
+
+_CAST_FNS = {"double": "DOUBLE", "long": "BIGINT"}
+_OPS = {
+    "==": "=", "!=": "<>", "&&": "AND", "||": "OR", "!": "NOT",
+    "<": "<", "<=": "<=", ">": ">", ">=": ">=",
+    "+": "+", "-": "-", "*": "*", "/": "/", "%": "%",
+    "(": "(", ")": ")",
+}
+_LITERALS = {"true": "TRUE", "false": "FALSE", "nil": "NULL"}
+
+
+def aviator_to_sql(expr: str, ns_map: dict[str, Callable[[str], str]]) -> str:
+    """Compile an Aviator boolean expression to ANSI SQL.
+
+    ``ns_map`` maps each allowed namespace (``"$element"``, ...) to a
+    function from property name to SQL column expression; referencing a
+    namespace absent from the map raises (e.g. ``$message`` inside a
+    vertex filter — the reference would throw at Aviator execute time).
+    """
+    out: list[str] = []
+    depth = 0
+    cast_stack: list[tuple[int, str]] = []  # (paren depth at '(', SQL type)
+    pending_cast: str | None = None
+    pos = 0
+    while pos < len(expr):
+        m = _TOKEN.match(expr, pos)
+        if m is None:
+            raise ValueError(f"unsupported Aviator syntax at {expr[pos:]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        tok = m.group()
+        if pending_cast is not None and tok != "(":
+            raise ValueError(f"cast function must be called: {expr!r}")
+        if m.lastgroup == "ns":
+            ns, prop = tok.split(".", 1)
+            if ns not in ns_map:
+                raise ValueError(f"namespace {ns} not allowed in {expr!r}")
+            out.append(ns_map[ns](prop))
+        elif m.lastgroup == "num":
+            out.append(tok)
+        elif m.lastgroup == "str":
+            body = tok[1:-1]
+            if "'" in body:
+                raise ValueError(f"embedded quote in literal: {tok!r}")
+            out.append(f"'{body}'")
+        elif m.lastgroup == "ident":
+            low = tok.lower()
+            if low in _LITERALS:
+                out.append(_LITERALS[low])
+            elif low in _CAST_FNS:
+                pending_cast = _CAST_FNS[low]
+            else:
+                raise ValueError(f"unsupported identifier {tok!r} in {expr!r}")
+        else:  # op
+            if tok == "(":
+                depth += 1
+                if pending_cast is not None:
+                    cast_stack.append((depth, pending_cast))
+                    pending_cast = None
+                    out.append("CAST(")
+                else:
+                    out.append("(")
+            elif tok == ")":
+                if cast_stack and cast_stack[-1][0] == depth:
+                    out.append(f" AS {cast_stack.pop()[1]})")
+                else:
+                    out.append(")")
+                depth -= 1
+                if depth < 0:
+                    raise ValueError(f"unbalanced parens in {expr!r}")
+            else:
+                out.append(_OPS[tok])
+    if depth != 0 or pending_cast is not None:
+        raise ValueError(f"unbalanced expression {expr!r}")
+    return " ".join(out)
+
+
+def _col(prefix: str = "") -> Callable[[str], str]:
+    return lambda prop: f"`{prefix}{prop}`"
+
+
+def _safe_label(label: str) -> str:
+    if "'" in label:
+        raise ValueError(f"bad label {label!r}")
+    return label
+
+
+@dataclass(frozen=True)
+class _PropFilter:
+    label: str
+    raw: str  # original Aviator text (used for the $message-strip check)
+
+
+def _parse_prop_filter(obj: dict) -> _PropFilter:
+    return _PropFilter(_safe_label(obj["label"]), obj["property_filter"])
+
+
+def _all_match(conds: list[tuple[str, str]], label_col: str) -> str:
+    """AND of per-label conjuncts with the reference's pass-through rule
+    (SpreadFilter.expressions:124-138): a ``*`` entry applies to every
+    row; a labeled entry applies only to rows of that label; rows whose
+    label has no entry pass."""
+    if not conds:
+        return "TRUE"
+    parts = []
+    for label, sql in conds:
+        if label == "*":
+            parts.append(f"({sql})")
+        else:
+            parts.append(f"(NOT (`{label_col}` = '{label}') OR ({sql}))")
+    return " AND ".join(parts)
+
+
+_MSG_NS = re.compile(r"\$message\b")
+_IN_NS = re.compile(r"\$in\.([A-Za-z_][A-Za-z0-9_]*)")
+_MSG_PROP = re.compile(r"\$message\.([A-Za-z_][A-Za-z0-9_]*)")
+
+
+class RingsFilter:
+    """Parsed ``rings.property_filter`` describe
+    (RingsDetectionFilterDescribe.java): ``vertex_filter`` /
+    ``edge_filter`` lists of ``{label, property_filter}``."""
+
+    def __init__(self, describe: str | dict):
+        d = json.loads(describe) if isinstance(describe, str) else describe
+        unknown = set(d) - {"vertex_filter", "edge_filter"}
+        if unknown:
+            raise ValueError(f"unknown describe keys {sorted(unknown)}")
+        self.vertex_filters = [_parse_prop_filter(o) for o in d.get("vertex_filter") or []]
+        self.edge_filters = [_parse_prop_filter(o) for o in d.get("edge_filter") or []]
+
+    @property
+    def carry_props(self) -> list[str]:
+        """Edge property names the walk must carry for ``$message``."""
+        props: list[str] = []
+        for f in self.edge_filters:
+            for p in _MSG_PROP.findall(f.raw):
+                if p not in props:
+                    props.append(p)
+        return props
+
+    def vertex_cond(self, label_col: str = "label") -> str:
+        conds = [
+            (f.label, aviator_to_sql(f.raw, {"$element": _col()}))
+            for f in self.vertex_filters
+        ]
+        return _all_match(conds, label_col)
+
+    def edge_cond(self, with_message: bool, label_col: str = "label",
+                  msg_prefix: str = "in_") -> str:
+        """Edge gate. Without a message in flight (superstep 0), the
+        reference drops every expression referencing ``$message``
+        (SpreadFilter.filter(Edge):84-99) — mirrored here."""
+        ns = {"$element": _col(), "$message": _col(msg_prefix)}
+        conds = []
+        for f in self.edge_filters:
+            if not with_message and _MSG_NS.search(f.raw):
+                continue
+            conds.append((f.label, aviator_to_sql(f.raw, ns)))
+        return _all_match(conds, label_col)
+
+
+class LinksConditions:
+    """Parsed ``links.analyze_config`` describe
+    (LinksConditionDescribe.java): ``start_vertexes`` (required),
+    ``vertex_end_condition`` / ``edge_end_condition`` (≥1 required),
+    ``edge_compare_condition`` (required; ``$out`` vs ``$in``).
+
+    Reference quirk preserved: BOTH spread gates match the edge label
+    against the *edge_end_condition*'s label, not the compare
+    condition's (LinksSpreadFilter.isEdgeCanSpread0/isEdgeCanSpread use
+    ``this.endEdgeCondition.getKey()``; with no edge_end_condition the
+    reference NPEs — we raise a clear error instead).
+    """
+
+    def __init__(self, describe: str | dict):
+        d = json.loads(describe) if isinstance(describe, str) else describe
+        unknown = set(d) - {
+            "start_vertexes", "vertex_end_condition",
+            "edge_end_condition", "edge_compare_condition",
+        }
+        if unknown:
+            raise ValueError(f"unknown describe keys {sorted(unknown)}")
+        if not d.get("start_vertexes"):
+            raise ValueError("start_vertexes must not be empty")
+        self.start_vertexes = list(d["start_vertexes"])
+        self.vertex_end = (
+            _parse_prop_filter(d["vertex_end_condition"])
+            if d.get("vertex_end_condition") else None
+        )
+        self.edge_end = (
+            _parse_prop_filter(d["edge_end_condition"])
+            if d.get("edge_end_condition") else None
+        )
+        if self.vertex_end is None and self.edge_end is None:
+            raise ValueError(
+                "vertex_end_condition and edge_end_condition can't all be null"
+            )
+        self.edge_compare = _parse_prop_filter(d["edge_compare_condition"])
+
+    @property
+    def carry_props(self) -> list[str]:
+        props: list[str] = []
+        for p in _IN_NS.findall(self.edge_compare.raw):
+            if p not in props:
+                props.append(p)
+        return props
+
+    def start_cond(self) -> str:
+        ids = ", ".join(str(int(v)) for v in self.start_vertexes)
+        return f"vid IN ({ids})"
+
+    def end_vertex_cond(self, label_col: str = "label") -> str:
+        if self.vertex_end is None:
+            return "FALSE"
+        sql = aviator_to_sql(self.vertex_end.raw, {"$element": _col()})
+        return f"(`{label_col}` = '{self.vertex_end.label}') AND ({sql})"
+
+    def end_edge_cond(self, label_col: str = "label") -> str:
+        if self.edge_end is None:
+            return "FALSE"
+        # isEndEdge binds the edge's properties to $out (LinksSpreadFilter
+        # .isEndEdge:109-118).
+        sql = aviator_to_sql(self.edge_end.raw, {"$out": _col()})
+        return f"(`{label_col}` = '{self.edge_end.label}') AND ({sql})"
+
+    def _spread_label(self) -> str:
+        if self.edge_end is None:
+            raise ValueError(
+                "edge_end_condition required for spreading "
+                "(reference NPEs at LinksSpreadFilter.isEdgeCanSpread0)"
+            )
+        return self.edge_end.label
+
+    def spread_cond0(self, label_col: str = "label") -> str:
+        """Superstep-0 spread: label equality ONLY, no expression
+        (LinksSpreadFilter.isEdgeCanSpread0:120-122)."""
+        return f"`{label_col}` = '{self._spread_label()}'"
+
+    def spread_cond(self, label_col: str = "label", in_prefix: str = "in_") -> str:
+        sql = aviator_to_sql(
+            self.edge_compare.raw, {"$out": _col(), "$in": _col(in_prefix)}
+        )
+        return f"(`{label_col}` = '{self._spread_label()}') AND ({sql})"

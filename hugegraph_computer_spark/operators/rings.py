@@ -144,6 +144,139 @@ def rings_detection(
     return out
 
 
+def rings_detection_with_filter(
+    graph: Graph,
+    describe: str | dict,
+    vertex_props: DataFrame | None = None,
+    max_ring_length: int | None = None,
+    max_supersteps: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    job_name: str = "rings_filter",
+) -> DataFrame:
+    """RingsDetectionWithFilter with the reference's exact JSON property-
+    filter DSL (rings/filter/RingsDetectionWithFilter.java:37-124,
+    RingsDetectionSpreadFilter.java:38-155), compiled to JVM-side SQL by
+    :mod:`path_filter`. Returns ``(vid long, ring array<long>)``.
+
+    Faithful deviations from plain ``rings_detection``:
+
+    * NO ``dst >= root`` pruning — the filtered variant floods every
+      passing edge (compute0:63-70, compute:108-114 have no id gate), so
+      each cycle is found from every root whose walk survives the
+      filters; recording still collapses to the path-minimum vertex.
+    * the vertex filter gates BOTH path starts (compute0:58-60) and
+      message processing at arrival (compute:76-77) — ``vertex_props``
+      supplies the columns it reads (``(vid, label?, props...)``).
+    * ``$message`` in an edge filter compares the candidate edge against
+      the walk's previous edge: those properties ride the path state as
+      ``in_<prop>`` columns, exactly ``message.walkEdgeProp``
+      (RingsDetectionMessage.java:86-92).
+    """
+    from hugegraph_computer_spark.operators.path_filter import RingsFilter
+
+    rf = RingsFilter(describe)
+    spark = graph.edges.sparkSession
+    loop_paths = SuperstepLoop(spark, f"{job_name}_paths", checkpoint_dir, max_supersteps)
+    loop_rings = SuperstepLoop(spark, f"{job_name}_rings", checkpoint_dir, max_supersteps)
+
+    edges = graph.edges
+    carry = rf.carry_props
+    missing = [p for p in carry if p not in edges.columns]
+    if missing:
+        raise ValueError(f"$message references unknown edge properties {missing}")
+
+    allowed: DataFrame | None = None
+    if rf.vertex_filters:
+        if vertex_props is None:
+            raise ValueError("vertex_filter requires a vertex_props DataFrame")
+        allowed = (
+            vertex_props.where(F.expr(rf.vertex_cond()))
+            .select(F.col(vertex_props.columns[0]).cast("long").alias("vid"))
+        )
+
+    def gate_arrivals(p: DataFrame) -> DataFrame:
+        if allowed is None:
+            return p
+        return p.join(allowed.withColumnRenamed("vid", "cur"), "cur", "left_semi")
+
+    deltas: list[DataFrame] = []
+    local_deltas: list[DataFrame] = []
+    start_s = 1
+    state = loop_paths.resume() if resume else None
+    if state is not None:
+        s0, paths, _ = state
+        start_s = s0 + 1
+        for k in loop_rings.completed_steps():
+            if k <= s0:
+                deltas.append(loop_rings.read_step(k))
+    else:
+        e0 = edges.where(F.expr(rf.edge_cond(with_message=False)))
+        if allowed is not None:
+            e0 = e0.join(allowed.withColumnRenamed("vid", "src"), "src", "left_semi")
+        paths = e0.select(
+            F.col("dst").alias("cur"),
+            F.array(F.col("src")).alias("seq"),
+            *[F.col(p).alias(f"in_{p}") for p in carry],
+        )
+        paths = loop_paths.materialize(0, paths)
+        loop_paths.commit(0, {})
+
+    edge_cond_msg = rf.edge_cond(with_message=True)
+    for s in range(start_s, max_supersteps):
+        arrived = gate_arrivals(paths)
+        root = F.element_at("seq", 1)
+        closed = arrived.where(F.col("cur") == root)
+        new_rings = (
+            closed.where(F.col("cur") <= F.array_min("seq"))
+            .select(
+                F.col("cur").alias("vid"),
+                F.concat("seq", F.array(F.col("cur"))).alias("ring"),
+            )
+        )
+        if checkpoint_dir is not None:
+            d = loop_rings.save(s, new_rings, {})
+        else:
+            d = new_rings.localCheckpoint(eager=True)
+            local_deltas.append(d)
+        deltas.append(d)
+
+        fwd = arrived.where(
+            (F.col("cur") != root) & ~F.array_contains("seq", F.col("cur"))
+        ).select(
+            "cur",
+            F.concat("seq", F.array(F.col("cur"))).alias("seq"),
+            *[f"in_{p}" for p in carry],
+        )
+        if max_ring_length is not None:
+            fwd = fwd.where(F.size("seq") < max_ring_length)
+        stepped = fwd.join(edges, fwd["cur"] == edges["src"])
+        nxt = stepped.where(F.expr(edge_cond_msg)).select(
+            F.col("dst").alias("cur"),
+            fwd["seq"],
+            *[edges[p].alias(f"in_{p}") for p in carry],
+        )
+        obs = Observation(f"{job_name}_s{s}")
+        paths = loop_paths.materialize(
+            s, nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        n = int(obs.get["n"] or 0)
+        if n == 0:
+            loop_paths.discard_step(s)
+            break
+        loop_paths.commit(s, {"in_flight": n})
+
+    rings = spark.createDataFrame([], "vid long, ring array<long>")
+    for d in deltas:
+        rings = rings.unionByName(d.select("vid", "ring"))
+    out = rings.localCheckpoint(eager=True)
+    for d in local_deltas:
+        release_local_checkpoint(d)
+    loop_paths.cleanup(keep_last=False)
+    loop_rings.cleanup(keep_last=False)
+    return out
+
+
 def rings_count(graph: Graph, **kw) -> DataFrame:
     """Per-vertex ring count ``(vid long, n_rings long)`` (0 if none)."""
     r = rings_detection(graph, **kw)

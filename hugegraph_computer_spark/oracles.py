@@ -918,6 +918,77 @@ SELECT cur AS vid, array_to_string(path, '-') AS path_str FROM p WHERE ended
 """
 
 
+EDGES_NATION_LABELED = """e0 AS MATERIALIZED (
+  SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+),
+e AS MATERIALIZED (
+  SELECT src, dst,
+         CAST((src + dst) % 7 AS DOUBLE) AS weight,
+         CASE WHEN (src + dst) % 3 = 0 THEN 'know' ELSE 'pay' END AS label
+  FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+)"""
+
+
+def rings_filter_dsl_sql() -> str:
+    """RingsDetectionWithFilter twin with the gate's JSON describe
+    hand-compiled to SQL (the Spark side compiles the SAME describe via
+    path_filter.aviator_to_sql — this oracle is the independent
+    derivation): vertex filter 'user': $element.weight < 2 (weight =
+    nationkey % 3); edge filter 'pay': $message.weight <= $element.weight
+    (non-'pay' edges pass; superstep 0 strips the $message expression so
+    ALL edges from allowed vertices spread). No dst >= root pruning —
+    the filtered variant floods every passing edge
+    (RingsDetectionWithFilter.java:63-70, 108-114); the walk carries the
+    previous edge's weight (message.walkEdgeProp)."""
+    return f"""
+WITH RECURSIVE {EDGES_NATION_LABELED},
+a AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS vid FROM nation WHERE n_nationkey % 3 < 2
+),
+p(cur, seq, inw) AS (
+  SELECT e.dst, [e.src], e.weight FROM e JOIN a ON e.src = a.vid
+  UNION ALL
+  SELECT e.dst, list_append(p.seq, p.cur), e.weight
+  FROM p JOIN a ON p.cur = a.vid JOIN e ON p.cur = e.src
+  WHERE p.cur <> p.seq[1] AND NOT list_contains(p.seq, p.cur)
+    AND (e.label <> 'pay' OR p.inw <= e.weight)
+)
+SELECT p.seq[1] AS vid, array_to_string(list_append(p.seq, p.cur), '-') AS ring_str
+FROM p JOIN a ON p.cur = a.vid
+WHERE p.cur = p.seq[1] AND p.cur <= list_min(p.seq)
+"""
+
+
+def links_filter_dsl_sql() -> str:
+    """Links twin for the gate's ``links.analyze_config`` describe
+    (mirrors the reference's own test shape, LinksTest.java:119-138):
+    start vertexes 0-4; edge_end_condition pay: double($out.weight) >= 5;
+    edge_compare_condition pay: $out.weight > $in.weight. First hop
+    spreads on the label check ALONE (isEdgeCanSpread0:120-122 —
+    ``p.inw IS NULL`` marks it); an end edge records at the CURRENT
+    vertex with the target appended and never spreads."""
+    return f"""
+WITH RECURSIVE {EDGES_NATION_LABELED},
+starts AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS vid FROM nation WHERE n_nationkey < 5
+),
+p(cur, path, inw) AS (
+  SELECT vid, [vid], CAST(NULL AS DOUBLE) FROM starts
+  UNION ALL
+  SELECT e.dst, list_append(p.path, e.dst), CAST(e.weight AS DOUBLE)
+  FROM p JOIN e ON p.cur = e.src
+  WHERE NOT (e.label = 'pay' AND CAST(e.weight AS DOUBLE) >= 5)
+    AND e.label = 'pay'
+    AND (p.inw IS NULL OR e.weight > p.inw)
+)
+SELECT p.cur AS vid, array_to_string(list_append(p.path, e.dst), '-') AS path_str
+FROM p JOIN e ON p.cur = e.src
+WHERE e.label = 'pay' AND CAST(e.weight AS DOUBLE) >= 5
+"""
+
+
 def betweenness_sql(
     n_sources: int = 16, max_depth: int = 12, round_to: int = 6
 ) -> str:

@@ -121,6 +121,31 @@ def nation_same_region_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_same_region_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation clique edges with deterministic label AND weight properties
+    for the reference's JSON filter DSL (rings/links):
+    ``weight = (src+dst) % 7``, ``label = 'know' if (src+dst) % 3 == 0
+    else 'pay'`` — both engine-portable expressions the DuckDB oracles
+    re-derive."""
+    e = nation_same_region_weighted(spark, sf_dir)
+    return e.select(
+        "src", "dst", "weight",
+        F.when((F.col("src") + F.col("dst")) % 3 == 0, "know")
+        .otherwise("pay")
+        .alias("label"),
+    )
+
+
+def nation_vertex_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex property table for the DSL's vertex filters:
+    ``(vid, label='user', weight = n_nationkey % 3)``."""
+    return _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("vid"),
+        F.lit("user").alias("label"),
+        (F.col("n_nationkey") % 3).cast("double").alias("weight"),
+    )
+
+
 NATION_OFFSET = 100
 SUPPLIER_TREE_OFFSET = 200
 
