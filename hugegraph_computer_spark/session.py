@@ -41,17 +41,29 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     so the same entry points run under the driver harness and in tests.
     """
-    if master is None:
+    # Under ``spark-submit`` the JVM gateway is already up (PythonRunner
+    # exports PYSPARK_GATEWAY_PORT) and carries the submitted master /
+    # deploy conf; forcing ``.master()`` here would override the cluster
+    # manager chosen on the command line (entry point B, SURVEY.md §3).
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
-    builder = SparkSession.builder.master(master).appName(app_name)
+        n = master.split("[")[-1].rstrip("]") if master and "[" in master else "32"
+        shuffle_partitions = 32 if not n.isdigit() else max(8, int(n))
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     # local mode: give the single JVM room for cached adjacency + shuffle
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+    # (a no-op under spark-submit, where the JVM is already running and
+    # driver memory was fixed by the submit command)
+    if not under_submit:
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -107,3 +107,83 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert (1, 2, 3.0) in got and (1, 1, 4.0) in got and (2, 1, 8.0) in got
+
+
+def test_stateful_sessionize_ordinals_match_batch(spark, tmp_path):
+    """applyInPandasWithState sessionize must reproduce the batch
+    sessionize rollup EXACTLY — including the per-user session ordinal
+    and integer epoch-us bounds that session_window cannot emit — with
+    state carried across micro-batches (one file per trigger)."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_computer_spark.operators.events import sessionize
+    from hugegraph_computer_spark.streaming.stateful import (
+        run_stateful_sessionize,
+    )
+
+    events_dir = str(tmp_path / "sf_events")
+    ckpt = str(tmp_path / "sf_ckpt")
+    os.makedirs(events_dir)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, "
+                  "event_type string, value double, props string"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+
+    # coalesce(1): ONE part-file per input file, so with
+    # maxFilesPerTrigger=1 the micro-batch sequence is deterministic
+    # (the far-future flusher must not advance the watermark past
+    # sibling events still waiting in another part-file)
+    # file 1: user 1 sessions 0+1 begin; user 2 session 0
+    mk([
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 1, "click", 2.0, "{}"),
+        (4, "2024-01-01 00:05:00", 2, "view", 8.0, "{}"),
+    ]).coalesce(1).write.parquet(f"{events_dir}/f1.parquet")
+    # file 2: user 1 session 1 + a THIRD session; out-of-order event 3
+    # lands in session 1 (arrives after event 5 but is earlier in time)
+    mk([
+        (5, "2024-01-01 00:55:00", 1, "view", 0.5, "{}"),
+        (3, "2024-01-01 00:50:00", 1, "view", 4.0, "{}"),
+        (6, "2024-01-01 02:00:00", 1, "buy", 16.0, "{}"),
+        # watermark flusher: far-future event closes everything above
+        (99, "2024-01-01 12:00:00", 9, "view", 0.0, "{}"),
+    ]).coalesce(1).write.parquet(f"{events_dir}/f2.parquet")
+
+    q = run_stateful_sessionize(
+        spark, f"{events_dir}/*", ckpt, query_name="sf_sess",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, session_id, n_events, start_us, end_us, "
+            "value_sum FROM sf_sess"
+        ).collect()
+    }
+    batch = {
+        tuple(r) for r in sessionize(
+            mk([
+                (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+                (2, "2024-01-01 00:10:00", 1, "click", 2.0, "{}"),
+                (3, "2024-01-01 00:50:00", 1, "view", 4.0, "{}"),
+                (4, "2024-01-01 00:05:00", 2, "view", 8.0, "{}"),
+                (5, "2024-01-01 00:55:00", 1, "view", 0.5, "{}"),
+                (6, "2024-01-01 02:00:00", 1, "buy", 16.0, "{}"),
+            ]).select(
+                "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+        ).select(
+            "user_id", "session_id", "n_events", "start_us", "end_us",
+            "value_sum",
+        ).collect()
+    }
+    assert got == batch
+    # the ordinal the declarative path cannot produce: user 1 has
+    # sessions 0, 1, 2 in chronological order
+    assert {(u, s) for (u, s, *_ ) in got if u == 1} == {(1, 0), (1, 1), (1, 2)}
