@@ -74,6 +74,16 @@ def betweenness_centrality(
             return loop.save(d, df, {})
         return ck(df)
 
+    def roll_seen(prev: DataFrame | None, new_seen: DataFrame) -> DataFrame:
+        """Materialize the next cumulative visited-set generation and
+        release the superseded one — keeping every generation pinned
+        (the pre-r3 behavior) holds O(depth·k·V) cached rows; rolling
+        bounds it to two generations."""
+        out = new_seen.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        return out
+
     restored = loop.completed_steps() if resume else []
     if restored:
         levels = [loop.read_step(d) for d in restored]
@@ -81,7 +91,7 @@ def betweenness_centrality(
         seen_all = levels[0].select("source", "vid")
         for lv in levels[1:]:
             seen_all = seen_all.unionByName(lv.select("source", "vid"))
-        seen = ck(seen_all)
+        seen = roll_seen(None, seen_all)
         depth = restored[-1]
     else:
         frontier = level_mat(0, src_set.select(
@@ -89,7 +99,7 @@ def betweenness_centrality(
             F.lit(0).alias("d"), F.lit(1.0).alias("sigma"),
         ))
         levels = [frontier]
-        seen = ck(frontier.select("source", "vid"))
+        seen = roll_seen(None, frontier.select("source", "vid"))
         depth = 0
     while depth < max_depth:
         depth += 1
@@ -112,8 +122,9 @@ def betweenness_centrality(
             loop.discard_step(depth)
             break
         levels.append(nxt)
-        seen = ck(seen.unionByName(nxt.select("source", "vid")))
+        seen = roll_seen(seen, seen.unionByName(nxt.select("source", "vid")))
         frontier = nxt
+    release_local_checkpoint(seen)  # the sweep needs only the levels
 
     # --------------------------------------------------------- backward sweep
     # delta starts at 0 on the deepest layer; walk levels upward. Each
