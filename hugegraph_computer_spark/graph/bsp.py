@@ -79,10 +79,18 @@ class SuperstepLoop:
         checkpoint_every: int = 1,
         snapshot_format: str = "parquet",
         release_window: int | None = 2,
+        resume: bool = False,
     ):
         self.spark = spark
         self.job_name = job_name
         self.dir = os.path.join(checkpoint_dir, job_name) if checkpoint_dir else None
+        # A fresh run (resume=False) must not inherit a prior, possibly
+        # LONGER run's snapshots: it overwrites only the steps it reaches,
+        # so stale deeper steps would survive and a later resume would mix
+        # two runs' states (completed_steps() unions them, resume() picks
+        # the stale deepest). Purge the job dir up front.
+        if self.dir and not resume and os.path.isdir(self.dir):
+            shutil.rmtree(self.dir)
         self.max_supersteps = max_supersteps
         self.checkpoint_every = max(1, checkpoint_every)
         # how many non-durable localCheckpoints to keep pinned: 2 suffices
@@ -192,6 +200,31 @@ class SuperstepLoop:
                 if os.path.exists(self._meta_path(s)):
                     out.append(s)
         return sorted(out)
+
+    def contiguous_steps(self, start: int = 0) -> list[int]:
+        """``completed_steps()`` restricted to the contiguous prefix
+        ``start, start+1, ...`` — algorithms whose resume REPLAYS every
+        step (delta layouts, Brandes levels) must never pair
+        non-adjacent supersteps; a gap means a corrupt/mixed checkpoint
+        dir and everything past it is unusable."""
+        out = []
+        expect = start
+        for s in self.completed_steps():
+            if s != expect:
+                break
+            out.append(s)
+            expect += 1
+        return out
+
+    def resume_steps(self, start: int = 0) -> list[int]:
+        """Usable steps for replay-style resume: the contiguous prefix,
+        with anything past a gap DISCARDED from disk (non-contiguous
+        steps mean a corrupt/mixed checkpoint dir; silently pairing
+        non-adjacent supersteps would corrupt the algorithm state)."""
+        usable = self.contiguous_steps(start)
+        for s in self.completed_steps()[len(usable):]:
+            self.discard_step(s)
+        return usable
 
     def read_step(self, superstep: int) -> DataFrame:
         """Read one durable superstep snapshot back (lineage-free)."""

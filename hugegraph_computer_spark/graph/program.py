@@ -78,7 +78,8 @@ def run_program(
     """
     spark = graph.edges.sparkSession
     loop = SuperstepLoop(
-        spark, program.name, checkpoint_dir, max_supersteps, checkpoint_every
+        spark, program.name, checkpoint_dir, max_supersteps, checkpoint_every,
+        resume=resume,
     )
     adj = graph.adjacency()
 

@@ -48,7 +48,9 @@ def betweenness_centrality(
     from the union of restored levels, not persisted separately."""
     spark = graph.edges.sparkSession
     edges = graph.edges.select("src", "dst")
-    loop = SuperstepLoop(spark, f"{job_name}_levels", checkpoint_dir, max_depth + 1)
+    loop = SuperstepLoop(
+        spark, f"{job_name}_levels", checkpoint_dir, max_depth + 1, resume=resume
+    )
 
     if isinstance(sources, int):
         src_set = graph.vertices().orderBy("vid").limit(sources)
@@ -84,7 +86,10 @@ def betweenness_centrality(
             release_local_checkpoint(prev)
         return out
 
-    restored = loop.completed_steps() if resume else []
+    # contiguous prefix only: the backward sweep indexes levels[d]/[d+1]
+    # positionally, so a gap (stale steps from a prior run) must never be
+    # silently bridged — resume_steps discards everything past a gap
+    restored = loop.resume_steps() if resume else []
     if restored:
         levels = [loop.read_step(d) for d in restored]
         frontier = levels[-1]

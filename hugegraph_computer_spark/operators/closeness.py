@@ -26,14 +26,18 @@ the long format shards it across partitions). TWO state layouts:
 
 * UNWEIGHTED (incl. sampled) — every message at superstep s carries
   distance s+1, so a (vid, start) pair's FIRST arrival is its minimum:
-  supersteps produce DISJOINT settled deltas, and the state is the
-  append-only list of delta frames. Per superstep only the new delta is
-  materialized — candidates anti-join the seen keys — instead of
-  rewriting the full O(k·V) state (VERDICT r2 stretch #10; the r1/r2
-  full-outer merge rewrote everything every superstep).
+  supersteps produce DISJOINT settled deltas. Per superstep only the new
+  delta is shuffled — candidates anti-join the settled keys — instead of
+  full-outer-merging the O(k·V) state (VERDICT r2 stretch #10). The
+  settled set is a ROLLED cumulative checkpoint (betweenness.roll_seen
+  pattern, VERDICT r3 weak #1): superstep s materializes
+  ``cum ∪ delta_s`` once and releases the superseded generation, so at
+  most two generations are pinned and each superstep traverses ONE
+  frame — the r3 layout re-unioned ALL prior deltas per superstep
+  (O(S²) frame traversals) and kept every delta pinned for the run.
 
-      delta_s = (frontier ⋈ edges → groupBy(vid,start).min)
-                ⟕anti (∪ delta_0..s-1 keys);  frontier := delta_s
+      delta_s = (frontier ⋈ edges → dedup) ⟕anti cum_{s-1} keys
+      cum_s   = materialize(cum_{s-1} ∪ delta_s);  frontier := delta_s
 
 * WEIGHTED — Bellman-Ford relaxation can improve a settled pair, so the
   full state is merged per superstep:
@@ -54,7 +58,7 @@ import time
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from hugegraph_computer_spark.graph.bsp import SuperstepLoop
+from hugegraph_computer_spark.graph.bsp import SuperstepLoop, release_local_checkpoint
 from hugegraph_computer_spark.graph.graph import Graph
 
 
@@ -103,11 +107,14 @@ def closeness_centrality(
         src_set = None
 
     if not weighted:
-        # delta layout: EVERY superstep's frame stays pinned until the
-        # final union (release_window=None), released in cleanup()
+        # delta layout: the durable state is the UNION of every
+        # superstep's delta, so every delta must be durable for resume
+        # to be correct — checkpoint_every is forced to 1 (a sparser
+        # cadence would silently drop the skipped supersteps' settled
+        # (vid, start) pairs on resume)
         loop = SuperstepLoop(
             spark, job_name, checkpoint_dir, max_supersteps,
-            checkpoint_every, release_window=None,
+            checkpoint_every=1, resume=resume,
         )
         return _closeness_unweighted_delta(
             graph, edges, src_set, sample_rate, max_supersteps,
@@ -115,7 +122,8 @@ def closeness_centrality(
         )
 
     loop = SuperstepLoop(
-        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every
+        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every,
+        resume=resume,
     )
     start = 1
     state = None
@@ -212,17 +220,34 @@ def _closeness_unweighted_delta(
     """Unweighted fast path: append-only settled deltas (disjoint per
     superstep — first arrival is the minimum hop distance, with or
     without spread sampling, because every superstep-s message carries
-    distance s+1). Durable snapshots store each delta; resume unions the
-    completed steps and continues from the deepest."""
-    deltas: list[DataFrame] = []
+    distance s+1). Durable snapshots store each DELTA (resume unions the
+    contiguous completed steps and continues from the deepest); the
+    in-memory settled state is a rolled 2-generation cumulative
+    checkpoint, so memory is bounded regardless of diameter."""
+
+    def roll(prev: DataFrame | None, df: DataFrame) -> DataFrame:
+        """Materialize the next cumulative settled-state generation and
+        release the superseded one (betweenness.roll_seen pattern)."""
+        out = df.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        return out
+
+    cum: DataFrame | None = None
+    frontier: DataFrame | None = None
     start = 1
     if resume:
-        steps = loop.completed_steps()
+        steps = loop.resume_steps()
         if steps:
-            deltas = [loop.read_step(k) for k in steps]
+            parts = [loop.read_step(k) for k in steps]
+            u = parts[0]
+            for d in parts[1:]:
+                u = u.unionByName(d)
+            cum = roll(None, u)
+            frontier = parts[-1]
             start = steps[-1] + 1
 
-    if not deltas:
+    if cum is None:
         seed = edges.select(
             F.col("src").alias("start"), F.col("dst").alias("vid")
         )
@@ -235,9 +260,9 @@ def _closeness_unweighted_delta(
             .dropDuplicates(["vid", "start"])
             .select("vid", "start", F.lit(1.0).alias("dist"))
         )
-        deltas = [loop.save(0, first, {"delta": -1}, {"supersteps": 0})]
+        frontier = loop.save(0, first, {"delta": -1}, {"supersteps": 0})
+        cum = roll(None, frontier)
 
-    frontier = deltas[-1]
     for s in range(start, max_supersteps):
         t0 = time.time()
         scatter = frontier.join(edges, frontier["vid"] == edges["src"]).where(
@@ -256,32 +281,25 @@ def _closeness_unweighted_delta(
             )
             .dropDuplicates(["vid", "start"])
         )
-        seen = deltas[0].select("vid", "start")
-        for d in deltas[1:]:
-            seen = seen.unionByName(d.select("vid", "start"))
         obs = Observation(f"{loop.job_name}_s{s}")
         new_delta = loop.materialize(
             s,
-            cand.join(seen, ["vid", "start"], "left_anti").observe(
-                obs, F.count(F.lit(1)).alias("c")
-            ),
+            cand.join(cum.select("vid", "start"), ["vid", "start"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("c")),
         )
         n = int(obs.get["c"] or 0)
         if n == 0:
             loop.discard_step(s)
             break
         loop.commit(s, {"delta": n}, {"supersteps": s, "sec": time.time() - t0})
-        deltas.append(new_delta)
+        cum = roll(cum, cum.unionByName(new_delta))
         frontier = new_delta
 
-    state = deltas[0]
-    for d in deltas[1:]:
-        state = state.unionByName(d)
-    out = _finish(graph, state, round_to)
-    # copy the result out so the per-superstep delta checkpoints can be
-    # released (they ARE the state here, unlike the weighted layout where
-    # cleanup(keep_last) suffices)
+    out = _finish(graph, cum, round_to)
+    # copy the result out so the cumulative-state checkpoint and the
+    # loop's pinned deltas can be released
     out = out.localCheckpoint(eager=True)
+    release_local_checkpoint(cum)
     loop.cleanup(keep_last=False)
     return out
 

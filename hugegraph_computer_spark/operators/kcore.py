@@ -46,7 +46,10 @@ def coreness(
 ) -> DataFrame:
     """Returns ``(vid long, coreness long)`` (0 for isolated vertices)."""
     spark = graph.edges.sparkSession
-    loop = SuperstepLoop(spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every)
+    loop = SuperstepLoop(
+        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every,
+        resume=resume,
+    )
     # self-loops neither contribute to coreness nor to the peeling degree
     edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
 

@@ -69,8 +69,12 @@ def links(
       its columns (left-joined on vid; missing vertices evaluate NULL →
       not matched, like an absent property in Aviator)."""
     spark = graph.edges.sparkSession
-    loop_paths = SuperstepLoop(spark, f"{job_name}_paths", checkpoint_dir, max_supersteps)
-    loop_out = SuperstepLoop(spark, f"{job_name}_out", checkpoint_dir, max_supersteps)
+    loop_paths = SuperstepLoop(
+        spark, f"{job_name}_paths", checkpoint_dir, max_supersteps, resume=resume
+    )
+    loop_out = SuperstepLoop(
+        spark, f"{job_name}_out", checkpoint_dir, max_supersteps, resume=resume
+    )
     edges = graph.edges
     carry = list(carry_props)
     missing = [p for p in carry if p not in edges.columns]

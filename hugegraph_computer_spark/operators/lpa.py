@@ -50,7 +50,10 @@ def lpa(
 ) -> DataFrame:
     """Run LPA; returns ``(vid long, label long)``."""
     spark = graph.edges.sparkSession
-    loop = SuperstepLoop(spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every)
+    loop = SuperstepLoop(
+        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every,
+        resume=resume,
+    )
     adj = graph.adjacency()
 
     start = 1

@@ -76,7 +76,8 @@ def pagerank(
     """
     spark = graph.edges.sparkSession
     loop = SuperstepLoop(
-        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every
+        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every,
+        resume=resume,
     )
 
     n = graph.num_vertices()

@@ -57,8 +57,12 @@ def rings_detection(
     delta intact and replays at most one superstep (idempotent
     overwrite). ``resume=True`` continues from the latest snapshot."""
     spark = graph.edges.sparkSession
-    loop_paths = SuperstepLoop(spark, f"{job_name}_paths", checkpoint_dir, max_supersteps)
-    loop_rings = SuperstepLoop(spark, f"{job_name}_rings", checkpoint_dir, max_supersteps)
+    loop_paths = SuperstepLoop(
+        spark, f"{job_name}_paths", checkpoint_dir, max_supersteps, resume=resume
+    )
+    loop_rings = SuperstepLoop(
+        spark, f"{job_name}_rings", checkpoint_dir, max_supersteps, resume=resume
+    )
     # spread_cond ≈ RingsDetectionWithFilter's property-filter DSL
     # (rings/filter/RingsDetectionWithFilter.java): a SQL boolean over the
     # edge columns gating every send, superstep 0 included.
@@ -177,8 +181,12 @@ def rings_detection_with_filter(
 
     rf = RingsFilter(describe)
     spark = graph.edges.sparkSession
-    loop_paths = SuperstepLoop(spark, f"{job_name}_paths", checkpoint_dir, max_supersteps)
-    loop_rings = SuperstepLoop(spark, f"{job_name}_rings", checkpoint_dir, max_supersteps)
+    loop_paths = SuperstepLoop(
+        spark, f"{job_name}_paths", checkpoint_dir, max_supersteps, resume=resume
+    )
+    loop_rings = SuperstepLoop(
+        spark, f"{job_name}_rings", checkpoint_dir, max_supersteps, resume=resume
+    )
 
     edges = graph.edges
     carry = rf.carry_props

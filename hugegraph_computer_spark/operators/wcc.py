@@ -47,7 +47,10 @@ def wcc(
     """Run WCC; returns ``(vid long, component long)`` — component is the
     min vid in the weakly connected component (isolated vertex → itself)."""
     spark = graph.edges.sparkSession
-    loop = SuperstepLoop(spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every)
+    loop = SuperstepLoop(
+        spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every,
+        resume=resume,
+    )
     adj = graph.adjacency()
     if kernel not in ("sql", "arrow", "auto"):
         raise ValueError(f"wcc: unknown kernel {kernel!r}")

@@ -49,14 +49,17 @@ def get_spark(
     if master is None and not under_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not under_submit:
+        # local default only — under spark-submit the submitted/cluster
+        # conf must win, so no value is forced unless the caller asks
         n = master.split("[")[-1].rstrip("]") if master and "[" in master else "32"
         shuffle_partitions = 32 if not n.isdigit() else max(8, int(n))
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
-    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     # local mode: give the single JVM room for cached adjacency + shuffle
     # (a no-op under spark-submit, where the JVM is already running and
     # driver memory was fixed by the submit command)

