@@ -989,6 +989,46 @@ WHERE e.label = 'pay' AND CAST(e.weight AS DOUBLE) >= 5
 """
 
 
+def rings_filter_builtins_sql() -> str:
+    """Twin of the ``rings_filter_builtins`` gate — the describe's
+    Aviator builtins hand-derived to INDEPENDENT DuckDB SQL (the Spark
+    side compiles them via path_filter._FNS templates; this oracle uses
+    different formulations on purpose):
+
+    * vertex 'user': ``$element.name != nil && string.startsWith(
+      $element.name, 'user_') && math.min($element.weight, 2) < 2`` —
+      name is NULL iff nationkey%4==0 and always starts with 'user_'
+      otherwise, weight = nationkey%3, so membership reduces to
+      ``n%4 <> 0 AND n%3 < 2``.
+    * edge 'pay': ``string.contains(str(long($element.weight)), '3') ==
+      false && $message.weight <= math.max($element.weight, 1)`` —
+      derived here as ``INSTR(...) = 0`` (vs the compiler's
+      ``(INSTR(...) > 0) = FALSE``). Superstep 0 strips the whole
+      expression ($message in flight — SpreadFilter.filter(Edge):84-99).
+    """
+    return f"""
+WITH RECURSIVE {EDGES_NATION_LABELED},
+a AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS vid FROM nation
+  WHERE n_nationkey % 4 <> 0 AND n_nationkey % 3 < 2
+),
+p(cur, seq, inw) AS (
+  SELECT e.dst, [e.src], e.weight FROM e JOIN a ON e.src = a.vid
+  UNION ALL
+  SELECT e.dst, list_append(p.seq, p.cur), e.weight
+  FROM p JOIN a ON p.cur = a.vid JOIN e ON p.cur = e.src
+  WHERE p.cur <> p.seq[1] AND NOT list_contains(p.seq, p.cur)
+    AND (e.label <> 'pay' OR (
+      INSTR(CAST(CAST(e.weight AS BIGINT) AS VARCHAR), '3') = 0
+      AND p.inw <= GREATEST(e.weight, 1.0)
+    ))
+)
+SELECT p.seq[1] AS vid, array_to_string(list_append(p.seq, p.cur), '-') AS ring_str
+FROM p JOIN a ON p.cur = a.vid
+WHERE p.cur = p.seq[1] AND p.cur <= list_min(p.seq)
+"""
+
+
 def betweenness_sql(
     n_sources: int = 16, max_depth: int = 12, round_to: int = 6
 ) -> str:

@@ -146,6 +146,23 @@ def nation_vertex_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_vertex_props_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex props with a NULLABLE string property for the builtin-
+    function DSL gate (round-4 Aviator surface): ``name`` is NULL when
+    ``nationkey % 4 == 0`` (exercising Aviator ``nil`` = missing
+    property), else ``'user_<nationkey % 5>'`` — both engine-portable."""
+    return _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("vid"),
+        F.lit("user").alias("label"),
+        (F.col("n_nationkey") % 3).cast("double").alias("weight"),
+        F.when(F.col("n_nationkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("user_"), (F.col("n_nationkey") % 5).cast("string"))
+        )
+        .alias("name"),
+    )
+
+
 NATION_OFFSET = 100
 SUPPLIER_TREE_OFFSET = 200
 

@@ -35,14 +35,14 @@ def test_aviator_reference_expressions():
     )
     assert (
         aviator_to_sql("double($out.weight) >= 4", {"$out": lambda p: f"`{p}`"})
-        == "CAST( `weight`  AS DOUBLE) >= 4"
+        == "CAST(`weight` AS DOUBLE) >= 4"
     )
     assert (
         aviator_to_sql("!($element.w < 2) && $element.s == 'ok'", _E)
         == "NOT ( `w` < 2 ) AND `s` = 'ok'"
     )
     assert aviator_to_sql("long($element.x) % 2 != 0 || false", _E) == (
-        "CAST( `x`  AS BIGINT) % 2 <> 0 OR FALSE"
+        "CAST(`x` AS BIGINT) % 2 <> 0 OR FALSE"
     )
 
 

@@ -146,6 +146,56 @@ def test_betweenness_resume_with_gap_falls_back_to_prefix(spark, tmp_path):
     assert resumed == full and any(v > 0 for v in full.values())
 
 
+# ------------------------------------ Aviator builtins + nil (r4 DSL gap)
+def test_aviator_builtins_compile_and_agree_across_engines(spark):
+    """Every builtin's SQL twin must evaluate identically in Spark SQL
+    and DuckDB — the whole point of compiling to a common subset."""
+    import duckdb
+
+    from hugegraph_computer_spark.operators.path_filter import aviator_to_sql
+
+    ns = {"$element": lambda p: f"`{p}`"}
+    cases = [
+        ("string.contains($element.s, 'ell')", True),
+        ("string.startsWith($element.s, 'he')", True),
+        ("string.endsWith($element.s, 'zz')", False),
+        ("string.indexOf($element.s, 'l') == 2", True),
+        ("string.length($element.s) == 5", True),
+        ("math.abs($element.x - 10) <= 3", True),
+        ("math.min($element.x, 5) == 5", True),
+        ("math.max($element.x, 5) == 7", True),
+        ("math.sqrt($element.x + 2) == 3", True),
+        ("math.pow($element.x, 2) == 49", True),
+        ("str($element.x) == '7'", True),
+        ("long('3') + $element.x == 10", True),
+        ("$element.p == nil", True),
+        ("$element.s != nil", True),
+        ("nil == $element.p", True),
+        ("!($element.s == nil)", True),
+    ]
+    for expr, expected in cases:
+        sql = aviator_to_sql(expr, ns)
+        duck_sql = sql.replace("`", '"').replace("AS STRING", "AS VARCHAR")
+        got_duck = duckdb.sql(
+            f"SELECT ({duck_sql}) AS v FROM (SELECT 'hello' AS s, 7 AS x, "
+            "CAST(NULL AS VARCHAR) AS p)"
+        ).fetchone()[0]
+        got_spark = spark.sql(
+            f"SELECT ({sql}) AS v FROM (SELECT 'hello' AS s, 7 AS x, "
+            "CAST(NULL AS STRING) AS p)"
+        ).collect()[0]["v"]
+        assert got_spark == got_duck == expected, (expr, sql, got_spark, got_duck)
+
+
+def test_aviator_nil_outside_equality_raises():
+    from hugegraph_computer_spark.operators.path_filter import aviator_to_sql
+
+    ns = {"$element": lambda p: f"`{p}`"}
+    for bad in ["$element.p + nil > 1", "$element.p < nil", "nil"]:
+        with pytest.raises(ValueError):
+            aviator_to_sql(bad, ns)
+
+
 def test_resume_steps_discards_past_gap(spark, tmp_path):
     loop = SuperstepLoop(spark, "gap", str(tmp_path), max_supersteps=9)
     df = spark.range(3).select(F.col("id").alias("vid"))
