@@ -1213,6 +1213,50 @@ FROM comp GROUP BY asset_id
 """
 
 
+def multimodal_real_decode_sql(n: int = 48, seed: int = 7) -> str:
+    """Twin of multimodal.synth_real_assets + decode_stats: the Spark
+    side PARSES actual PPM/WAV containers (header, comments, chunk walk)
+    with the pure-numpy decoders; this oracle re-derives the decoded
+    values from the generator formula — pixel/sample bytes are sha256
+    digest chains of ``"{seed}:{i}:{block}"``, images are 192 raw bytes
+    (values 0-255), audio is 64 little-endian int16 samples (pairs
+    ``b0 + 256·b1``, two's complement). A single mis-parsed byte
+    anywhere (comment handling, chunk alignment, endianness) shifts
+    sum/sumsq and fails the hash."""
+    return f"""
+WITH bytes AS MATERIALIZED (
+  SELECT i AS asset_id,
+         CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+         j,
+         ('0x' || substr(sha256('{seed}:' || i || ':' || (j // 32)),
+                         (j % 32) * 2 + 1, 2))::BIGINT AS b
+  FROM range(0, {n}) t(i) CROSS JOIN range(0, 192) s(j)
+  WHERE i % 2 = 0 OR j < 128
+),
+image_vals AS MATERIALIZED (
+  SELECT asset_id, modality, b AS v FROM bytes WHERE modality = 'image'
+),
+audio_raw AS MATERIALIZED (
+  SELECT asset_id, modality, j // 2 AS k,
+         SUM(CASE WHEN j % 2 = 0 THEN b ELSE 256 * b END) AS raw
+  FROM bytes WHERE modality = 'audio' GROUP BY asset_id, modality, j // 2
+),
+vals AS MATERIALIZED (
+  SELECT asset_id, modality, v FROM image_vals
+  UNION ALL
+  SELECT asset_id, modality,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM audio_raw
+)
+SELECT asset_id, modality,
+       COUNT(*)::BIGINT AS n_vals,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(SUM(v * v) AS BIGINT) AS sumsq,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_val
+FROM vals GROUP BY asset_id, modality
+"""
+
+
 def edge_props_policy_sql() -> str:
     """SQL twin of Graph.from_edges' properties-combiner policies over
     sources.lineitem_ordered_prop_edges: per (src,dst) after symmetrize,

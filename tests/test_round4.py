@@ -146,6 +146,71 @@ def test_betweenness_resume_with_gap_falls_back_to_prefix(spark, tmp_path):
     assert resumed == full and any(v > 0 for v in full.values())
 
 
+# ----------------------------------------- real PPM/WAV decoders (r4 #5)
+def test_ppm_decoder_parses_comments_and_dims():
+    import numpy as np
+
+    from hugegraph_computer_spark.operators.multimodal import _decode_ppm
+
+    raster = bytes(range(2 * 3 * 3))
+    payload = b"P6\n# a comment\n# another\n3 2\n# late comment\n255\n" + raster
+    img = _decode_ppm(payload)
+    assert img.shape == (2, 3, 3) and img.dtype == np.uint8
+    assert bytes(img.reshape(-1)) == raster
+
+
+def test_wav_decoder_walks_chunks_and_endianness():
+    import struct
+
+    import numpy as np
+
+    from hugegraph_computer_spark.operators.multimodal import _decode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1000], dtype="<i2")
+    data = samples.tobytes()
+    extra = b"LIST" + struct.pack("<I", 5) + b"info\x00\x00"  # odd size → pad
+    hdr = (
+        b"RIFF" + struct.pack("<I", 4 + len(extra) + 24 + 8 + len(data)) + b"WAVE"
+        + extra
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    rate, got = _decode_wav(hdr + data)
+    assert rate == 16000 and list(got) == list(samples)
+
+
+def test_real_decode_raises_for_unsupported():
+    from hugegraph_computer_spark.operators.multimodal import (
+        DecoderUnavailable,
+        real_decode,
+    )
+
+    with pytest.raises(DecoderUnavailable):
+        real_decode(b"\x89PNG....", "image")  # compressed codec: not ours
+    with pytest.raises(DecoderUnavailable):
+        real_decode(b"\x00" * 64, "video")
+
+
+def test_decode_stats_matches_numpy(spark):
+    import numpy as np
+
+    from hugegraph_computer_spark.operators.multimodal import (
+        decode_stats,
+        real_decode,
+        synth_real_assets,
+    )
+
+    assets = synth_real_assets(spark, n=8, seed=3)
+    got = {r["asset_id"]: r for r in decode_stats(assets).collect()}
+    for row in assets.collect():
+        vals = real_decode(bytes(row["payload"]), row["modality"]).reshape(-1)
+        vals = vals.astype(np.int64)
+        r = got[row["asset_id"]]
+        assert r["n_vals"] == len(vals)
+        assert r["sum_val"] == int(vals.sum())
+        assert r["sumsq"] == int((vals * vals).sum())
+
+
 # ------------------------------------ Aviator builtins + nil (r4 DSL gap)
 def test_aviator_builtins_compile_and_agree_across_engines(spark):
     """Every builtin's SQL twin must evaluate identically in Spark SQL
