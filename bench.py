@@ -126,6 +126,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
         "betweenness_16src",
         lambda: betweenness_centrality(g_cs, sources=16, max_depth=12).count(),
     )
+    # 4x the sources in the SAME long-format level frames: per-level job
+    # overhead amortizes over source count (the r3 verdict's watch item —
+    # per-source time must drop vs 16src, proving the 30s line is
+    # overhead-bound, not data-bound)
+    timed(
+        "betweenness_64src",
+        lambda: betweenness_centrality(g_cs, sources=64, max_depth=12).count(),
+    )
     g_cp = Graph.from_edges(copurchase_edges(spark, sf_dir), drop_self_loops=True)
     timed("triangle_count", lambda: triangle_count(g_cp).count())  # oriented default
     timed(
