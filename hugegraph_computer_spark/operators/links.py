@@ -14,10 +14,14 @@ our engine-idiomatic equivalent is three Spark SQL boolean expressions:
   (``src``, ``dst`` and any property columns of the edge DataFrame)
 * ``end_vertex_cond`` — over ``vid``
 
-Paths are vertex-id sequences (the reference also records edge-id chains;
-our edge identity is the (src,dst) pair, recoverable from consecutive
-path vertices). No cycle check — exactly like the reference, the superstep
-cap bounds the flood.
+Paths are vertex-id sequences; with ``edge_id_col`` set each recorded
+path ALSO carries the edge-id chain (the reference's LinksValue records
+both vertex and edge ids, Links.java:30-130 / LinksValue.java) — under
+MULTIPLE edge frequency with parallel edges, one path row is emitted per
+distinct edge chain, so a user can trace exactly which parallel edge the
+walk took. Without it, edge identity is the (src,dst) pair (recoverable
+from consecutive path vertices for SINGLE-frequency graphs). No cycle
+check — exactly like the reference, the superstep cap bounds the flood.
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ def links(
     spread_cond0: str | None = None,
     carry_props: tuple[str, ...] | list[str] = (),
     vertex_props: DataFrame | None = None,
+    edge_id_col: str | None = None,
 ) -> DataFrame:
     """Run Links; returns ``(vid long, path array<long>)`` — one row per
     recorded path, anchored at the vertex that recorded it (the end vertex,
@@ -67,7 +72,10 @@ def links(
     * ``vertex_props`` — optional ``(vid, label?, props...)`` frame;
       when given, ``start_cond`` and ``end_vertex_cond`` may reference
       its columns (left-joined on vid; missing vertices evaluate NULL →
-      not matched, like an absent property in Aviator)."""
+      not matched, like an absent property in Aviator).
+    * ``edge_id_col`` — name of an edge column holding the edge id; the
+      output gains ``edge_path`` (the LinksValue edge-id chain), one row
+      per distinct chain under parallel edges."""
     spark = graph.edges.sparkSession
     loop_paths = SuperstepLoop(
         spark, f"{job_name}_paths", checkpoint_dir, max_supersteps, resume=resume
@@ -82,6 +90,13 @@ def links(
         raise ValueError(f"carry_props not in edge columns: {missing}")
     edge_dtypes = dict(edges.dtypes)
     in_cols = [f"in_{p}" for p in carry]
+    if edge_id_col is not None and edge_id_col not in edges.columns:
+        raise ValueError(f"edge_id_col {edge_id_col!r} not in edge columns")
+    eid_type = edge_dtypes[edge_id_col] if edge_id_col else None
+
+    def with_edge_path(*cols):
+        """Output column list: (…cols, edge_path) when tracking edge ids."""
+        return [*cols, "edge_path"] if edge_id_col else list(cols)
 
     def vsplit(df: DataFrame, cond: str) -> tuple[DataFrame, DataFrame]:
         """(rows matching the vertex condition, rows not matching) with
@@ -129,13 +144,18 @@ def links(
             ),
             start_cond,
         )
-        start = start_all.select("vid", F.array("vid").alias("path"))
+        start = start_all.select(
+            "vid",
+            F.array("vid").alias("path"),
+            *([F.expr(f"CAST(array() AS array<{eid_type}>)").alias("edge_path")]
+              if edge_id_col else []),
+        )
         # a start vertex that is itself an end vertex records [self] and
         # stops (compute0 -> isEndVertexAndSaveValue short-circuit)
         ended0, live = vsplit(start, end_vertex_cond)
         record(0, ended0)
         live = live.select(
-            "vid", "path",
+            *with_edge_path("vid", "path"),
             # no previous edge on the first hop — NULL in_* (only
             # spread_cond0 ever sees these rows)
             *[F.lit(None).cast(edge_dtypes[p]).alias(f"in_{p}") for p in carry],
@@ -148,7 +168,13 @@ def links(
             edges["src"], edges["dst"],
             *[edges[c] for c in edges.columns if c not in ("src", "dst")],
             paths["path"],
+            *([paths["edge_path"].alias("prev_edge_path")] if edge_id_col else []),
             *[paths[ic] for ic in in_cols],
+        )
+        eid_step = (
+            [F.concat("prev_edge_path", F.array(F.col(edge_id_col)))
+             .alias("edge_path")]
+            if edge_id_col else []
         )
         # end-edge: record path + target at the CURRENT vertex
         is_end_edge = F.coalesce(F.expr(end_edge_cond), F.lit(False))
@@ -157,6 +183,7 @@ def links(
             .select(
                 F.col("src").alias("vid"),
                 F.concat("path", F.array(F.col("dst"))).alias("path"),
+                *eid_step,
             )
         )
         # first hop spreads under spread_cond0 (reference: label-only
@@ -173,12 +200,15 @@ def links(
             .select(
                 F.col("dst").alias("vid"),
                 F.concat("path", F.array(F.col("dst"))).alias("path"),
+                *eid_step,
                 *[edges[p].alias(f"in_{p}") for p in carry],
             )
         )
         # end-vertex: record at the arriving vertex; others stay live
         vertex_ended, live = vsplit(moved, end_vertex_cond)
-        record(s, edge_ended.unionByName(vertex_ended.select("vid", "path")))
+        record(s, edge_ended.unionByName(
+            vertex_ended.select(*with_edge_path("vid", "path"))
+        ))
         obs = Observation(f"{job_name}_s{s}")
         paths = loop_paths.materialize(
             s, live.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -189,7 +219,10 @@ def links(
             break
         loop_paths.commit(s, {"in_flight": n})
 
-    results = spark.createDataFrame([], "vid long, path array<long>")
+    schema = "vid long, path array<long>"
+    if edge_id_col:
+        schema += f", edge_path array<{eid_type}>"
+    results = spark.createDataFrame([], schema)
     for d in deltas:
         results = results.unionByName(d)
     out = results.localCheckpoint(eager=True)

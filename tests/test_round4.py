@@ -146,6 +146,38 @@ def test_betweenness_resume_with_gap_falls_back_to_prefix(spark, tmp_path):
     assert resumed == full and any(v > 0 for v in full.values())
 
 
+# --------------------------------- LinksValue edge-id chains (r3 missing #4)
+def test_links_edge_id_chains_distinguish_parallel_edges(spark):
+    """The reference's LinksValue records the edge-id chain alongside the
+    vertex path (Links.java:30-130) — under MULTIPLE edge frequency two
+    parallel edges yield two distinct recorded paths."""
+    from hugegraph_computer_spark.operators.links import links
+
+    edges = spark.createDataFrame(
+        [(1, 2, "a"), (1, 2, "b"), (2, 3, "c")],
+        "src long, dst long, eid string",
+    )
+    g = Graph.from_edges(
+        edges, symmetrize=False, edge_freq="multiple", properties=["eid"]
+    )
+    out = links(
+        g, start_cond="vid = 1", spread_cond="true",
+        end_vertex_cond="vid = 3", edge_id_col="eid",
+    )
+    got = sorted(
+        (r["vid"], tuple(r["path"]), tuple(r["edge_path"])) for r in out.collect()
+    )
+    assert got == [
+        (3, (1, 2, 3), ("a", "c")),
+        (3, (1, 2, 3), ("b", "c")),
+    ]
+    # without edge_id_col the two walks are indistinguishable rows
+    plain = links(
+        g, start_cond="vid = 1", spread_cond="true", end_vertex_cond="vid = 3"
+    )
+    assert plain.columns == ["vid", "path"] and plain.count() == 2
+
+
 # ----------------------------------------- real PPM/WAV decoders (r4 #5)
 def test_ppm_decoder_parses_comments_and_dims():
     import numpy as np
