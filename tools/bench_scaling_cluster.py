@@ -38,7 +38,14 @@ sys.path.insert(0, str(REPO))
 
 EDGES_PATH = str(REPO / ".bench" / "scaling_edges.parquet")
 SUPERSTEPS = 10
-EXEC_MEM_MB = 8192
+# Per-executor heap. The single-JVM local[*] runs use one 24g heap
+# (session.py); in local-cluster the 1-executor level must hold the
+# ENTIRE cached adjacency in its own heap — 8g OOMs (executor exit
+# code 52) on the 96M-edge graph, 16g holds it with execution headroom.
+# Kept constant across cluster sizes: on a real cluster, scaling from N
+# to 4N executors scales total memory too; per-executor memory is the
+# controlled variable.
+EXEC_MEM_MB = 16384
 
 
 def measured_run() -> None:
@@ -88,6 +95,10 @@ def submit(n_exec: int, cores: int) -> dict:
     cmd = [
         spark_submit,
         "--master", f"local-cluster[{n_exec},{cores},{EXEC_MEM_MB}]",
+        # local-cluster's third parameter is only the worker's OFFER;
+        # the executor JVM heap is spark.executor.memory (default 1g —
+        # which OOMed with exit code 52 on the 96M-edge adjacency).
+        "--conf", f"spark.executor.memory={EXEC_MEM_MB}m",
         "--driver-memory", "6g",
         "--conf", "spark.ui.enabled=false",
         "--py-files", str(zip_path),
