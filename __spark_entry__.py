@@ -53,6 +53,7 @@ from hugegraph_computer_spark.operators.events import sessionize, window_dedup
 from hugegraph_computer_spark.operators.multimodal import (
     decode_stats,
     extract_features,
+    resize_images,
     synth_assets,
     synth_real_assets,
 )
@@ -537,6 +538,19 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize over REAL-parsed PPM containers: decode
+    -> half-pixel-center resample -> re-encode (payload round-trip is
+    pytest-asserted); the gate hashes the exact integer statistics of
+    the sampled pixels, which the oracle re-derives from the sha256
+    generator formula without parsing binaries. A wrong index map
+    (floor vs round, row/col swap) picks different bytes and fails."""
+    assets = synth_real_assets(spark, n=48, seed=7)
+    return resize_images(assets, out_w=4, out_h=4).select(
+        "asset_id", "out_w", "out_h", "n_vals", "sum_val", "sumsq", "mean_val"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's canonicalizer sorts/hashes every column in pandas, so
     the array<float> feature vector is serialized to a scalar signature:
@@ -620,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -689,5 +704,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_real_decode": oracles.multimodal_real_decode_sql(
             n=48, seed=7
+        ),
+        "multimodal_resize": oracles.multimodal_resize_sql(
+            n=48, seed=7, out_w=4, out_h=4
         ),
     }

@@ -1,8 +1,9 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The decode kernels themselves are STUBBED (this container has no
-image/audio libraries — see ``DecoderUnavailable`` / the deterministic fake)
-but the Spark-side machinery is real and tested:
+Codec-FREE formats are decoded for real (pure-numpy binary PPM and RIFF/
+WAVE PCM16 parsers — ``real_decode``); compressed codecs (JPEG/MP3/video)
+still raise ``DecoderUnavailable``, the declared seam for PIL/librosa/av
+on a real cluster image. The Spark-side machinery is real and tested:
 
 * schema: ``(asset_id long, modality string, payload binary,
   meta struct<width int, height int, sample_rate int, n_frames int>)``
@@ -269,6 +270,71 @@ def extract_features(assets: DataFrame, dim: int = 16, use_real_decoder: bool = 
             )
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("out_w", LongType(), False),
+        StructField("out_h", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("n_vals", LongType(), False),
+        StructField("sum_val", LongType(), False),
+        StructField("sumsq", LongType(), False),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor image resize over REAL-decoded PPM payloads
+    (mapInPandas / Arrow), re-encoded as binary PPM.
+
+    Each image is genuinely container-parsed (``_decode_ppm``: magic,
+    comments, dims), resampled with the standard half-pixel-center map
+    ``src = ((2*dst + 1) * src_dim) // (2 * dst_dim)`` — integer-exact,
+    so ``oracles.multimodal_resize_sql`` re-derives the resized pixel
+    statistics straight from the generator formula while the Spark side
+    must parse the actual bytes. The output row carries the re-encoded
+    P6 payload (round-trip asserted in tests) plus exact integer stats
+    (the value-hash surface); ``mean_val`` is appended for readability.
+
+    The reference engine has no multimodal surface — this is one of the
+    training-data-pipeline extensions (decode / feature-extract /
+    resize / frame-sample); only images are resizable, so non-image
+    modalities are filtered out up front (predicate reaches the scan).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "asset_id", "out_w", "out_h", "payload",
+                "n_vals", "sum_val", "sumsq",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = _decode_ppm(bytes(payload))
+                h, w = img.shape[:2]
+                ys = ((2 * np.arange(out_h) + 1) * h) // (2 * out_h)
+                xs = ((2 * np.arange(out_w) + 1) * w) // (2 * out_w)
+                small = img[ys][:, xs]
+                flat = small.reshape(-1).astype(np.int64)
+                enc = (f"P6\n{out_w} {out_h}\n255\n".encode()
+                       + small.tobytes())
+                out["asset_id"].append(aid)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["payload"].append(enc)
+                out["n_vals"].append(len(flat))
+                out["sum_val"].append(int(flat.sum()))
+                out["sumsq"].append(int((flat * flat).sum()))
+            yield pd.DataFrame(out)
+
+    resized = (
+        assets.where(F.col("modality") == "image")
+        .mapInPandas(batches, schema=RESIZE_SCHEMA)
+    )
+    return resized.withColumn(
+        "mean_val", F.round(F.col("sum_val") / F.col("n_vals"), 6)
+    )
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:

@@ -1257,6 +1257,45 @@ FROM vals GROUP BY asset_id, modality
 """
 
 
+def multimodal_resize_sql(
+    n: int = 48, seed: int = 7, out_w: int = 4, out_h: int = 4
+) -> str:
+    """Twin of multimodal.synth_real_assets + resize_images: the Spark
+    side parses each 8x8 P6 container and nearest-neighbor-resamples it
+    with the half-pixel-center map src = ((2*dst+1)*8) // (2*out_dim);
+    this oracle re-derives the SAME sampled pixel bytes directly from
+    the sha256 digest-chain generator — pixel (y, x, c) lives at raster
+    offset o = y*24 + x*3 + c, byte = sha256('{seed}:{i}:{o//32}')[o%32].
+    A wrong index map (off-by-one, floor vs round, row/col swap) picks
+    different bytes and fails the value hash."""
+    return f"""
+WITH sampled AS MATERIALIZED (
+  SELECT i AS asset_id,
+         (((2 * yd + 1) * 8) // (2 * {out_h})) * 24
+       + (((2 * xd + 1) * 8) // (2 * {out_w})) * 3 + c AS o
+  FROM range(0, {n}) t(i)
+       CROSS JOIN range(0, {out_h}) a(yd)
+       CROSS JOIN range(0, {out_w}) b(xd)
+       CROSS JOIN range(0, 3) cc(c)
+  WHERE i % 2 = 0
+),
+vals AS MATERIALIZED (
+  SELECT asset_id,
+         ('0x' || substr(sha256('{seed}:' || asset_id || ':' || (o // 32)),
+                         (o % 32) * 2 + 1, 2))::BIGINT AS v
+  FROM sampled
+)
+SELECT asset_id,
+       {out_w}::BIGINT AS out_w,
+       {out_h}::BIGINT AS out_h,
+       COUNT(*)::BIGINT AS n_vals,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(SUM(v * v) AS BIGINT) AS sumsq,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_val
+FROM vals GROUP BY asset_id
+"""
+
+
 def edge_props_policy_sql() -> str:
     """SQL twin of Graph.from_edges' properties-combiner policies over
     sources.lineitem_ordered_prop_edges: per (src,dst) after symmetrize,

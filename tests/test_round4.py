@@ -243,6 +243,52 @@ def test_decode_stats_matches_numpy(spark):
         assert r["sumsq"] == int((vals * vals).sum())
 
 
+def test_resize_images_round_trip_and_stats(spark):
+    import numpy as np
+
+    from hugegraph_computer_spark.operators.multimodal import (
+        _decode_ppm,
+        real_decode,
+        resize_images,
+        synth_real_assets,
+    )
+
+    assets = synth_real_assets(spark, n=8, seed=3)
+    got = {r["asset_id"]: r for r in resize_images(assets, 4, 4).collect()}
+    images = [r for r in assets.collect() if r["modality"] == "image"]
+    assert set(got) == {r["asset_id"] for r in images}
+    for row in images:
+        img = real_decode(bytes(row["payload"]), "image")
+        ys = ((2 * np.arange(4) + 1) * img.shape[0]) // 8
+        xs = ((2 * np.arange(4) + 1) * img.shape[1]) // 8
+        small = img[ys][:, xs].reshape(-1).astype(np.int64)
+        r = got[row["asset_id"]]
+        assert (r["n_vals"], r["sum_val"], r["sumsq"]) == (
+            len(small), int(small.sum()), int((small * small).sum())
+        )
+        # the emitted payload is a REAL P6 container: re-decoding it
+        # must reproduce the resized pixels bit-for-bit
+        back = _decode_ppm(bytes(r["payload"]))
+        assert back.shape == (4, 4, 3)
+        assert (back.reshape(-1).astype(np.int64) == small).all()
+
+
+def test_resize_images_non_square_target(spark):
+    from hugegraph_computer_spark.operators.multimodal import (
+        _decode_ppm,
+        resize_images,
+        synth_real_assets,
+    )
+
+    assets = synth_real_assets(spark, n=4, seed=11)
+    rows = resize_images(assets, out_w=2, out_h=6).collect()
+    assert rows, "expected at least one image asset"
+    for r in rows:
+        assert (r["out_w"], r["out_h"]) == (2, 6)
+        assert r["n_vals"] == 2 * 6 * 3
+        assert _decode_ppm(bytes(r["payload"])).shape == (6, 2, 3)
+
+
 # ------------------------------------ Aviator builtins + nil (r4 DSL gap)
 def test_aviator_builtins_compile_and_agree_across_engines(spark):
     """Every builtin's SQL twin must evaluate identically in Spark SQL
