@@ -1093,13 +1093,16 @@ WHERE EXISTS (SELECT 1 FROM l{max_depth})
     )
 
 
-def coreness_sql(iterations: int = 30) -> str:
+def coreness_sql(iterations: int = 64) -> str:
     """Exact k-core via the h-index fixpoint (Lü et al. 2016), unrolled —
     the SQL twin of operators.kcore: h0 = degree; h_{t+1}(v) =
     min(h_t(v), H({h_t(u): u∈N(v)})) where the h-index is
     MAX(LEAST(value, desc-rank)). Monotone non-increasing, so any
-    iteration count ≥ the convergence round yields the exact coreness
-    (30 ≫ the ~6 rounds the sf0.01 co-purchase graph needs)."""
+    iteration count ≥ the convergence round yields the exact coreness.
+    Default 64: the sf0.01 co-purchase graph converges in ~6 rounds but
+    sf0.1 needs >30 and <60 (measured — 30 left 15,299/20,000 vertices
+    one-off-high; 60 == 90 bit-identical), so 64 keeps the oracle valid
+    at every SF the gate runs while costing only ~2× the 30-round SQL."""
     parts = [
         f"WITH {EDGES_COPURCHASE}",
         "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
