@@ -289,6 +289,34 @@ def test_resize_images_non_square_target(spark):
         assert _decode_ppm(bytes(r["payload"])).shape == (6, 2, 3)
 
 
+def test_resize_images_arbitrary_source_dims(spark):
+    """The resample index map must hold for non-square, non-power-of-two
+    SOURCE images too (synth_real_assets only makes 8x8): a 5x3 P6 with
+    known pixel bytes resized to 2x2 must pick exactly the half-pixel-
+    center pixels."""
+    import numpy as np
+
+    from hugegraph_computer_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        resize_images,
+    )
+
+    w, h = 5, 3
+    raster = bytes(range(w * h * 3))  # 45 distinct byte values
+    payload = f"P6\n{w} {h}\n255\n".encode() + raster
+    assets = spark.createDataFrame(
+        [(0, "image", bytearray(payload), (w, h, None, None))], ASSET_SCHEMA
+    )
+    r = resize_images(assets, out_w=2, out_h=2).collect()[0]
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    ys = ((2 * np.arange(2) + 1) * h) // 4   # -> rows 0, 2
+    xs = ((2 * np.arange(2) + 1) * w) // 4   # -> cols 1, 3
+    small = img[ys][:, xs].reshape(-1).astype(np.int64)
+    assert r["n_vals"] == 12
+    assert r["sum_val"] == int(small.sum())
+    assert r["sumsq"] == int((small * small).sum())
+
+
 # ------------------------------------ Aviator builtins + nil (r4 DSL gap)
 def test_aviator_builtins_compile_and_agree_across_engines(spark):
     """Every builtin's SQL twin must evaluate identically in Spark SQL
