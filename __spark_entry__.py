@@ -53,9 +53,11 @@ from hugegraph_computer_spark.operators.events import sessionize, window_dedup
 from hugegraph_computer_spark.operators.multimodal import (
     decode_stats,
     extract_features,
+    frame_sample_decode,
     resize_images,
     synth_assets,
     synth_real_assets,
+    synth_video_assets,
 )
 from hugegraph_computer_spark.operators.similarity import (
     _plane_tables,
@@ -551,6 +553,22 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling with REAL stream decode: each payload is a
+    concatenated-P6 PPM stream (the byte format ffmpeg's image2pipe/ppm
+    emits) whose per-frame header comments make frame offsets
+    data-dependent — the operator must parse every header to seek, but
+    materializes only every 5th frame's raster. The gate hashes exact
+    per-sampled-frame pixel statistics, which the oracle re-derives
+    from the sha256 generator without parsing binaries."""
+    assets = synth_video_assets(spark, n=24, seed=11, w=8, h=4, n_frames=24)
+    return frame_sample_decode(assets, every_n=5).select(
+        "asset_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "n_vals", "sum_val", "sumsq", "mean_val",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's canonicalizer sorts/hashes every column in pandas, so
     the array<float> feature vector is serialized to a scalar signature:
@@ -635,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -707,5 +726,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_resize": oracles.multimodal_resize_sql(
             n=48, seed=7, out_w=4, out_h=4
+        ),
+        "multimodal_frame_sample": oracles.multimodal_frame_sample_sql(
+            n=24, seed=11, w=8, h=4, n_frames=24, every_n=5
         ),
     }

@@ -70,7 +70,20 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     """Parse a binary PPM (P6) image with pure numpy — a REAL container
     parse (magic, '#' comments, ASCII dims/maxval, raw pixel plane), no
     codec library needed. Returns uint8 pixels shaped (h, w, 3)."""
-    pos = 0
+    img, _end = _decode_ppm_at(payload, 0)
+    return img
+
+
+def _decode_ppm_at(
+    payload: bytes, pos: int, skip_raster: bool = False
+) -> tuple[np.ndarray | None, int]:
+    """Parse ONE P6 frame starting at ``pos`` inside a (possibly
+    concatenated) PPM stream; returns (pixels, end_offset). This is the
+    walk step for PPM video streams — ``ffmpeg -f image2pipe -vcodec
+    ppm`` emits exactly back-to-back P6 frames, so end_offset of frame
+    f is the start of frame f+1. With ``skip_raster`` the header is
+    still fully parsed (it must be — offsets are data-dependent) but
+    the pixel plane is only cursor-skipped, never materialized."""
 
     def token() -> bytes:
         nonlocal pos
@@ -94,10 +107,13 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     if maxval > 255:
         raise DecoderUnavailable("16-bit PPM not supported")
     pos += 1  # exactly ONE whitespace byte separates maxval from raster
-    raster = payload[pos:pos + w * h * 3]
-    if len(raster) != w * h * 3:
-        raise ValueError(f"truncated PPM raster: {len(raster)} < {w * h * 3}")
-    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    end = pos + w * h * 3
+    if end > len(payload):
+        raise ValueError(f"truncated PPM raster: {len(payload) - pos} < {w * h * 3}")
+    if skip_raster:
+        return None, end
+    img = np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(h, w, 3)
+    return img, end
 
 
 def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -181,6 +197,37 @@ def synth_real_assets(spark: SparkSession, n: int = 48, seed: int = 7) -> DataFr
                 + b"data" + struct.pack("<I", len(data))
             )
             rows.append((i, "audio", bytearray(hdr + data), (None, None, 16000, None)))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synth_video_assets(
+    spark: SparkSession,
+    n: int = 24,
+    seed: int = 11,
+    w: int = 8,
+    h: int = 4,
+    n_frames: int = 24,
+) -> DataFrame:
+    """Deterministic REAL video streams: each payload is ``n_frames``
+    back-to-back binary P6 PPM frames — the exact byte stream
+    ``ffmpeg -f image2pipe -vcodec ppm`` produces — with a per-frame
+    ``# frame <f>`` header comment so frame offsets are NOT arithmetic
+    (the parser must genuinely walk every header). Frame ``f``'s raster
+    bytes are the sha256 digest chain of ``"{seed}:{i}:{f}:{block}"``,
+    so a DuckDB oracle re-derives sampled-frame statistics without
+    parsing binaries while the Spark side must parse the stream."""
+    rows = []
+    raster_len = w * h * 3
+    n_blocks = -(-raster_len // 32)
+    for i in range(n):
+        frames = []
+        for f in range(n_frames):
+            raster = b"".join(
+                hashlib.sha256(f"{seed}:{i}:{f}:{b}".encode()).digest()
+                for b in range(n_blocks)
+            )[:raster_len]
+            frames.append(f"P6\n# frame {f}\n{w} {h}\n255\n".encode() + raster)
+        rows.append((i, "video", bytearray(b"".join(frames)), (w, h, None, n_frames)))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
@@ -333,6 +380,64 @@ def resize_images(assets: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFram
         .mapInPandas(batches, schema=RESIZE_SCHEMA)
     )
     return resized.withColumn(
+        "mean_val", F.round(F.col("sum_val") / F.col("n_vals"), 6)
+    )
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("n_vals", LongType(), False),
+        StructField("sum_val", LongType(), False),
+        StructField("sumsq", LongType(), False),
+    ]
+)
+
+
+def frame_sample_decode(assets: DataFrame, every_n: int = 5) -> DataFrame:
+    """Decode every ``every_n``-th frame of each PPM video stream and
+    emit exact integer pixel statistics per sampled frame.
+
+    The walk is a genuine streaming seek: every frame header is parsed
+    (magic, per-frame comment, dims — offsets are data-dependent, not
+    arithmetic), but only sampled frames' rasters are materialized as
+    arrays; skipped frames advance the cursor by their header-declared
+    raster length. Per-task memory is therefore bounded by ONE frame
+    plus the Arrow batch, regardless of video length — the decode-side
+    realization of ``frame_sample_plan``'s explode-before-decode shape,
+    and the same indices ``0, every_n, 2·every_n, …`` the plan emits.
+
+    The reference engine has no multimodal surface; this is the
+    frame-sample member of the training-pipeline extension family
+    (decode / feature-extract / resize / frame-sample)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "asset_id", "frame_index", "n_vals", "sum_val", "sumsq",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                stream = bytes(payload)
+                pos, f = 0, 0
+                while pos < len(stream):
+                    sampled = f % every_n == 0
+                    img, pos = _decode_ppm_at(stream, pos, skip_raster=not sampled)
+                    if sampled:
+                        flat = img.reshape(-1).astype(np.int64)
+                        out["asset_id"].append(aid)
+                        out["frame_index"].append(f)
+                        out["n_vals"].append(len(flat))
+                        out["sum_val"].append(int(flat.sum()))
+                        out["sumsq"].append(int((flat * flat).sum()))
+                    f += 1
+            yield pd.DataFrame(out)
+
+    stats = (
+        assets.where(F.col("modality") == "video")
+        .mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
+    )
+    return stats.withColumn(
         "mean_val", F.round(F.col("sum_val") / F.col("n_vals"), 6)
     )
 

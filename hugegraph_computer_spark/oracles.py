@@ -1299,6 +1299,43 @@ FROM vals GROUP BY asset_id
 """
 
 
+def multimodal_frame_sample_sql(
+    n: int = 24,
+    seed: int = 11,
+    w: int = 8,
+    h: int = 4,
+    n_frames: int = 24,
+    every_n: int = 5,
+) -> str:
+    """Twin of multimodal.synth_video_assets + frame_sample_decode: the
+    Spark side walks a REAL concatenated-P6 stream (per-frame header
+    comments make frame offsets data-dependent, so it must parse every
+    header to seek), decodes only frames 0, every_n, 2·every_n, … and
+    emits exact pixel statistics; this oracle re-derives the sampled
+    frames' raster bytes straight from the generator — byte j of frame
+    f of asset i is sha256('{seed}:{i}:{f}:{j//32}')[j%32]. A wrong
+    seek (comment mishandled, off-by-one frame index, raster length
+    miscomputed) lands on different bytes and fails the value hash."""
+    raster = w * h * 3
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT i AS asset_id, f AS frame_index,
+         ('0x' || substr(sha256('{seed}:' || i || ':' || f || ':' || (j // 32)),
+                         (j % 32) * 2 + 1, 2))::BIGINT AS v
+  FROM range(0, {n}) t(i)
+       CROSS JOIN range(0, {n_frames}, {every_n}) fr(f)
+       CROSS JOIN range(0, {raster}) s(j)
+)
+SELECT asset_id,
+       frame_index::BIGINT AS frame_index,
+       COUNT(*)::BIGINT AS n_vals,
+       CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(SUM(v * v) AS BIGINT) AS sumsq,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_val
+FROM vals GROUP BY asset_id, frame_index
+"""
+
+
 def edge_props_policy_sql() -> str:
     """SQL twin of Graph.from_edges' properties-combiner policies over
     sources.lineitem_ordered_prop_edges: per (src,dst) after symmetrize,

@@ -376,3 +376,114 @@ def test_resume_steps_discards_past_gap(spark, tmp_path):
     loop2 = SuperstepLoop(spark, "gap", str(tmp_path), max_supersteps=9, resume=True)
     assert loop2.resume_steps() == [0, 1]
     assert loop2.completed_steps() == [0, 1]  # 3 and 4 discarded from disk
+
+
+# ------------------------------------------------ video frame-sample decode
+
+
+def test_frame_sample_decode_matches_direct_numpy(spark):
+    """Operator stats per sampled frame == direct sha256-chain re-derivation."""
+    import hashlib
+
+    import numpy as np
+
+    from hugegraph_computer_spark.operators.multimodal import (
+        frame_sample_decode,
+        synth_video_assets,
+    )
+
+    n, seed, w, h, n_frames, every_n = 6, 11, 8, 4, 12, 4
+    assets = synth_video_assets(spark, n=n, seed=seed, w=w, h=h, n_frames=n_frames)
+    got = {
+        (r["asset_id"], r["frame_index"]): (r["n_vals"], r["sum_val"], r["sumsq"])
+        for r in frame_sample_decode(assets, every_n=every_n).collect()
+    }
+    raster_len = w * h * 3
+    n_blocks = -(-raster_len // 32)
+    expected = {}
+    for i in range(n):
+        for f in range(0, n_frames, every_n):
+            raw = b"".join(
+                hashlib.sha256(f"{seed}:{i}:{f}:{b}".encode()).digest()
+                for b in range(n_blocks)
+            )[:raster_len]
+            v = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            expected[(i, f)] = (len(v), int(v.sum()), int((v * v).sum()))
+    assert got == expected
+
+
+def test_frame_sample_skips_unsampled_rasters(spark):
+    """Corrupting an UNSAMPLED frame's raster changes nothing (the seek
+    only cursor-skips it); corrupting a SAMPLED frame's raster shifts
+    that frame's stats and only that frame's."""
+    from hugegraph_computer_spark.operators.multimodal import (
+        _decode_ppm_at,
+        frame_sample_decode,
+        synth_video_assets,
+    )
+
+    assets = synth_video_assets(spark, n=1, seed=3, w=4, h=4, n_frames=6)
+    [row] = assets.collect()
+    stream = bytes(row["payload"])
+
+    # locate each frame's raster span by walking headers
+    spans, pos, f = [], 0, 0
+    while pos < len(stream):
+        _none, end = _decode_ppm_at(stream, pos, skip_raster=True)
+        spans.append((end - 4 * 4 * 3, end))
+        pos = end
+        f += 1
+    assert f == 6
+
+    def run(payload: bytes):
+        df = spark.createDataFrame(
+            [(0, "video", bytearray(payload), (4, 4, None, 6))],
+            assets.schema,
+        )
+        return {
+            r["frame_index"]: (r["sum_val"], r["sumsq"])
+            for r in frame_sample_decode(df, every_n=3).collect()
+        }
+
+    base = run(stream)
+    assert sorted(base) == [0, 3]
+
+    def corrupt(payload: bytes, span) -> bytes:
+        s, e = span
+        return payload[:s] + bytes(255 - b for b in payload[s:e]) + payload[e:]
+
+    # frame 1 is never sampled: stats identical
+    assert run(corrupt(stream, spans[1])) == base
+    # frame 3 is sampled: only its entry moves
+    moved = run(corrupt(stream, spans[3]))
+    assert moved[0] == base[0] and moved[3] != base[3]
+
+
+def test_frame_sample_indices_match_plan(spark):
+    """The decode emits exactly the indices frame_sample_plan declares
+    from metadata — plan and kernel agree on the sampling lattice."""
+    from hugegraph_computer_spark.operators.multimodal import (
+        frame_sample_decode,
+        frame_sample_plan,
+        synth_video_assets,
+    )
+
+    assets = synth_video_assets(spark, n=3, seed=5, w=4, h=2, n_frames=10)
+    plan = {
+        (r["asset_id"], r["frame_index"])
+        for r in frame_sample_plan(assets, every_n=4).collect()
+    }
+    decoded = {
+        (r["asset_id"], r["frame_index"])
+        for r in frame_sample_decode(assets, every_n=4).collect()
+    }
+    assert plan == decoded and len(plan) == 3 * 3  # frames 0, 4, 8
+
+
+def test_ppm_stream_truncated_raises():
+    from hugegraph_computer_spark.operators.multimodal import _decode_ppm_at
+
+    stream = b"P6\n2 2\n255\n" + bytes(12) + b"P6\n2 2\n255\n" + bytes(5)
+    _img, end = _decode_ppm_at(stream, 0)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm_at(stream, end)
