@@ -187,3 +187,74 @@ def test_stateful_sessionize_ordinals_match_batch(spark, tmp_path):
     # the ordinal the declarative path cannot produce: user 1 has
     # sessions 0, 1, 2 in chronological order
     assert {(u, s) for (u, s, *_ ) in got if u == 1} == {(1, 0), (1, 1), (1, 2)}
+
+
+# ------------------------------------------------ streaming exact dedup
+
+
+def _write_doc_file(spark, path, rows):
+    """One parquet file of (doc_id, text, ingest_ts-minutes-offset)."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, t, base + datetime.timedelta(minutes=m))
+            for i, t, m in rows
+        ],
+        "doc_id long, text string, ingest_ts timestamp",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_dedup_first_arrival_matches_batch(spark, tmp_path):
+    """Duplicates arriving within the watermark across micro-batches
+    collapse to the FIRST arrival — same survivor the batch exact_dedup
+    picks for this feed (min doc_id coincides with first arrival)."""
+    feed = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+    _write_doc_file(spark, feed, [(1, "alpha", 0), (2, "beta", 1)])
+    _write_doc_file(spark, feed, [(3, "alpha", 2), (4, "gamma", 3)])
+    _write_doc_file(spark, feed, [(5, "beta", 4), (6, "alpha", 5)])
+
+    from hugegraph_computer_spark.streaming.dedup import run_streaming_dedup
+
+    q = run_streaming_dedup(
+        spark, feed, ck, query_name="sd1",
+        watermark_minutes=60, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    got = {
+        r["text"]: r["doc_id"] for r in spark.sql("select * from sd1").collect()
+    }
+    # one survivor per distinct content, and it is the first arrival
+    assert got == {"alpha": 1, "beta": 2, "gamma": 4}
+
+
+def test_streaming_dedup_state_evicts_past_watermark(spark, tmp_path):
+    """A duplicate arriving AFTER the watermark has passed its
+    fingerprint's event time is re-emitted — the documented bounded-state
+    contract (state does not grow with corpus size)."""
+    feed = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    from hugegraph_computer_spark.streaming.dedup import run_streaming_dedup
+
+    # explicit batch boundaries: one availableNow pass per arriving file
+    # against the SAME checkpoint (a paced feed). Batch 1: doc at t=0;
+    # batch 2 advances the watermark far past t=0 + 10 min; batch 3: a
+    # duplicate at t=500 — its fingerprint's state is already evicted.
+    for rows in (
+        [(1, "alpha", 0)],
+        [(2, "filler", 400)],
+        [(3, "alpha", 500)],
+    ):
+        _write_doc_file(spark, feed, rows)
+        q = run_streaming_dedup(
+            spark, feed, ck, watermark_minutes=10, output_path=out,
+        )
+        q.awaitTermination()
+    rows = spark.read.parquet(out).select("doc_id", "text").collect()
+    alpha_ids = sorted(r["doc_id"] for r in rows if r["text"] == "alpha")
+    assert alpha_ids == [1, 3]  # re-emitted after eviction, by design
