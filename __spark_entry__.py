@@ -452,6 +452,36 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language subsample (mixture weighting): keep
+    iff the portable 60-bit md5 draw of the doc id falls under the
+    language's rate — a pure JVM filter at scan speed, identical id set
+    at every scale factor and in the oracle."""
+    from hugegraph_computer_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.1}
+    ).select("doc_id", "lang", "draw")
+
+
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic trainer-shard assignment rolled up per shard:
+    (shard, n_docs, sum_doc_id) hash-checks the complete md5-mod
+    routing — one misrouted document shifts two shards' sums."""
+    from hugegraph_computer_spark.operators.sampling import shard_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        shard_assign(docs, n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )
+
+
 def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality × language × dedup-survivor curation pass (composition of
     the engine's own text/dedup operators)."""
@@ -639,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "curation_filter": q_curation_filter,
+        "stratified_sample": q_stratified_sample,
+        "shard_stats": q_shard_stats,
         # --- event stream (sessionization / time-window dedup) ---
         "sessionize": q_sessionize,
         "window_dedup": q_window_dedup,
@@ -696,6 +728,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),
         "fingerprint": oracles.fingerprint_sql(),
+        "stratified_sample": oracles.stratified_sample_sql(
+            {"en": 0.5, "de": 0.25, "fr": 0.1}
+        ),
+        "shard_stats": oracles.shard_stats_sql(n_shards=16),
         "curation_filter": oracles.curation_filter_sql(
             min_quality=0.5, langs=("en", "de")
         ),

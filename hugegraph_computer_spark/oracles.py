@@ -1336,6 +1336,45 @@ FROM vals GROUP BY asset_id, frame_index
 """
 
 
+def stratified_sample_sql(rates: dict[str, float], salt: str = "sample") -> str:
+    """Twin of sampling.deterministic_sample over documents: the keep
+    gate is the portable 60-bit md5 draw, so both engines select the
+    IDENTICAL id set — a different hash slice, modulus, or rate
+    rounding changes membership and fails the hash."""
+    mod = 1_000_000
+    clauses = " OR ".join(
+        f"(lang = '{s}' AND draw < {int(round(r * mod))})"
+        for s, r in sorted(rates.items())
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('{salt}:' || doc_id), 1, 15))::BIGINT % {mod} AS draw
+  FROM documents
+)
+SELECT doc_id, lang, draw FROM d WHERE {clauses}
+"""
+
+
+def shard_stats_sql(n_shards: int, salt: str = "shard") -> str:
+    """Twin of sampling.shard_assign rolled up per shard: (shard,
+    n_docs, sum_doc_id) hash-checks the COMPLETE assignment compactly —
+    one misrouted document shifts two shards' sums."""
+    mod = 1_000_000
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         (('0x' || substr(md5('{salt}:' || doc_id), 1, 15))::BIGINT % {mod})
+           % {n_shards} AS shard
+  FROM documents
+)
+SELECT shard::BIGINT AS shard,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM d GROUP BY shard
+"""
+
+
 def edge_props_policy_sql() -> str:
     """SQL twin of Graph.from_edges' properties-combiner policies over
     sources.lineitem_ordered_prop_edges: per (src,dst) after symmetrize,

@@ -164,3 +164,72 @@ def test_output_sinks(spark, tmp_path):
     assert back.count() == 2
     table_output(df, str(tmp_path / "tbl"))
     assert spark.read.parquet(str(tmp_path / "tbl")).count() == 2
+
+
+SF_PIPE = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------ deterministic sampling
+
+
+def test_deterministic_sample_nested_and_stable(spark):
+    """Raising a rate strictly grows the sample (nested property), and
+    membership is identical across runs (no RNG/partition-order state)."""
+    from hugegraph_computer_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF_PIPE}/documents.parquet")
+    small = {r["doc_id"] for r in
+             deterministic_sample(docs, 0.2).select("doc_id").collect()}
+    big = {r["doc_id"] for r in
+           deterministic_sample(docs, 0.5).select("doc_id").collect()}
+    again = {r["doc_id"] for r in
+             deterministic_sample(docs.repartition(7), 0.2)
+             .select("doc_id").collect()}
+    assert small and small < big          # nested, non-empty, strict
+    assert small == again                 # stable under repartitioning
+    n = docs.count()
+    assert abs(len(big) / n - 0.5) < 0.1  # near the target rate
+
+
+def test_deterministic_sample_strata_rates(spark):
+    """Dict rates gate per stratum; unlisted strata are dropped."""
+    from hugegraph_computer_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF_PIPE}/documents.parquet")
+    out = deterministic_sample(docs, {"en": 1.0, "de": 0.0})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert out.count() == n_en            # rate 1.0 keeps every row
+
+
+def test_export_shards_roundtrip_and_balance(spark, tmp_path):
+    """Every doc lands in exactly one shard directory, shard dirs are
+    hash-balanced, and a per-shard read prunes to one directory."""
+    from hugegraph_computer_spark.operators.sampling import (
+        export_shards,
+        shard_assign,
+    )
+
+    docs = spark.read.parquet(f"{SF_PIPE}/documents.parquet")
+    out = str(tmp_path / "shards")
+    export_shards(docs, out, n_shards=8)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    sizes = {r["shard"]: r["n"] for r in
+             back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == set(range(8))
+    mean = sum(sizes.values()) / 8
+    assert max(sizes.values()) < 2 * mean  # hash balance, loose bound
+    # the written assignment IS shard_assign's (partition column round-trip)
+    expect = {r["doc_id"]: r["shard"] for r in
+              shard_assign(docs, 8).select("doc_id", "shard").collect()}
+    got = {r["doc_id"]: r["shard"] for r in
+           back.select("doc_id", "shard").collect()}
+    assert got == expect
+    # partition pruning: a shard=3 filter scans one directory
+    from hugegraph_computer_spark.plans.checks import explain_str
+
+    plan = explain_str(back.where(F.col("shard") == 3))
+    assert "shard=3" in plan or "PartitionFilters" in plan
