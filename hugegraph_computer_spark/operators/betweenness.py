@@ -47,7 +47,10 @@ def betweenness_centrality(
     operator that had none (VERDICT r2 missing #2). ``seen`` is rebuilt
     from the union of restored levels, not persisted separately."""
     spark = graph.edges.sparkSession
-    edges = graph.edges.select("src", "dst")
+    # cached co-partitioned static side: every forward level and every
+    # backward-sweep join hits the persisted src-partitioned frame
+    # instead of re-scanning + re-shuffling the edge table per level
+    edges = graph.flat_edges()
     loop = SuperstepLoop(
         spark, f"{job_name}_levels", checkpoint_dir, max_depth + 1, resume=resume
     )

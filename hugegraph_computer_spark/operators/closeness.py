@@ -91,13 +91,15 @@ def closeness_centrality(
     reference's sampled mode.
     """
     spark = graph.edges.sparkSession
-    edges = graph.edges
-    w = (
-        F.coalesce(F.col("weight"), F.lit(1.0))
-        if weighted and "weight" in edges.columns
-        else F.lit(1.0)
-    )
-    edges = edges.select("src", "dst", w.alias("w"))
+    # cached co-partitioned static side (see Graph.flat_edges): the
+    # projection below preserves partitioning/sort, so each superstep's
+    # frontier ⋈ edges join re-shuffles only the (small) frontier
+    if weighted and "weight" in graph.edges.columns:
+        edges = graph.flat_edges(all_cols=True).select(
+            "src", "dst", F.coalesce(F.col("weight"), F.lit(1.0)).alias("w")
+        )
+    else:
+        edges = graph.flat_edges().select("src", "dst", F.lit(1.0).alias("w"))
 
     if isinstance(sources, int):
         src_set = graph.vertices().orderBy("vid").limit(sources)

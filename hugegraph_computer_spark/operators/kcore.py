@@ -50,8 +50,10 @@ def coreness(
         spark, job_name, checkpoint_dir, max_supersteps, checkpoint_every,
         resume=resume,
     )
-    # self-loops neither contribute to coreness nor to the peeling degree
-    edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # self-loops neither contribute to coreness nor to the peeling degree;
+    # the filter sits over the cached src-partitioned frame (partitioning
+    # and sort survive it), so each round's join re-shuffles nothing
+    edges = graph.flat_edges().where(F.col("src") != F.col("dst"))
 
     start = 1
     state = None

@@ -166,3 +166,55 @@ def test_snapshot_format_seam(spark, tmp_path):
     )
     with pytest.raises(Exception):
         bogus.save(0, df, {})
+
+
+def test_level_flood_join_no_exchange_on_cached_flat_edges(spark):
+    """The per-level frontier ⋈ edges join of the path-flood family
+    (betweenness/closeness/rings/links/kcore) must need neither an
+    Exchange nor a Sort on the cached flat_edges side — the static side
+    is persisted hash-partitioned + sorted by src, so each level
+    re-shuffles only the frontier. Also covers the all_cols variant:
+    a filter + projection over it must preserve the property."""
+    g = make_graph(spark, random_edges(100, 300, seed=2))
+    fe = g.flat_edges()
+    fe.count()
+    frontier = g.vertices().limit(10).select(
+        F.col("vid").alias("source"), F.col("vid"), F.lit(1.0).alias("sigma")
+    )
+    def static_branch_lines(plan: str) -> list[str]:
+        """Lines of the SMJ's RIGHT (static) branch: walk upward from the
+        InMemoryTableScan line, collecting ancestors until the join; the
+        left branch's lines all carry the ':' tree marker, the right
+        branch's do not."""
+        lines = plan.splitlines()
+        idx = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+        branch = []
+        for l in reversed(lines[:idx]):
+            if "SortMergeJoin" in l or "ShuffledHashJoin" in l:
+                break
+            if not l.strip().startswith(":"):
+                branch.append(l)
+        return branch
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = frontier.join(fe, frontier["vid"] == fe["src"])
+        assert_no_cartesian(joined)
+        plan = explain_str(joined, mode="simple")
+        bad = [l for l in static_branch_lines(plan)
+               if "Exchange" in l or "Sort" in l]
+        assert not bad, (bad, plan[:1800])
+
+        fe_all = g.flat_edges(all_cols=True)
+        fe_all.count()
+        filtered = fe_all.where(F.col("src") != F.col("dst")).select("src", "dst")
+        plan2 = explain_str(
+            frontier.join(filtered, frontier["vid"] == filtered["src"]),
+            mode="simple",
+        )
+        bad2 = [l for l in static_branch_lines(plan2)
+                if "Exchange" in l or "Sort" in l]
+        assert not bad2, (bad2, plan2[:1800])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
