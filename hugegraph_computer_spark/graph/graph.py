@@ -379,7 +379,12 @@ class Graph:
         self._adj_cache[key] = adj
         return adj
 
-    def flat_edges(self, cache: bool = True, all_cols: bool = False) -> DataFrame:
+    def flat_edges(
+        self,
+        cache: bool = True,
+        all_cols: bool = False,
+        build_hash: bool = False,
+    ) -> DataFrame:
         """Flat edges hash-partitioned by src and sorted within
         partitions — the co-partitioned STATIC side for every
         per-superstep ``frontier ⋈ edges`` join (flat Arrow scatter,
@@ -394,25 +399,36 @@ class Graph:
         keeps every edge column (weights, labels, carry props, edge
         ids) for operators that filter or project them per superstep —
         a filter/projection over the cached frame preserves the
-        partitioning and sort, so the no-exchange property survives."""
+        partitioning and sort, so the no-exchange property survives.
+
+        ``build_hash=True`` adds a ``shuffle_hash`` hint: build the SHJ
+        hash map on THIS (cached, already-partitioned) side instead of
+        sort-merge joining. Choose by the ratio of the DYNAMIC side to
+        the static side, measured per family on the sf0.1 graph
+        (BENCH_flat_edges_ab.json):
+
+        * multi-source path floods (Brandes/closeness/rings/links,
+          k·V-row frontiers that dwarf E) → ``True``: SMJ would re-SORT
+          the huge frontier every level (+16% on 64-source Brandes);
+          SHJ streams it unsorted, paying only an E/num_partitions
+          hash build, and closeness_32src measured −20%.
+        * V-row dynamic sides against E-row static (PageRank contribs,
+          V ≪ E) → ``False``: sorting V rows per superstep is cheaper
+          than re-building an E-row hash map (pagerank measured ~+10%
+          with the hint), and SMJ reuses the cached sort for free.
+        """
         key = "flat_all" if all_cols else "flat"
-        if key in self._adj_cache:
-            return self._adj_cache[key].hint("shuffle_hash")
-        base = self.edges if all_cols else self.edges.select("src", "dst")
-        fe = (
-            base.repartition(self.num_partitions, "src")
-            .sortWithinPartitions("src")
-        )
-        if cache:
-            fe = fe.persist()
-        self._adj_cache[key] = fe
-        # shuffle_hash: build the per-partition hash map on THIS (cached,
-        # already-partitioned) side. SMJ would instead SORT the frontier
-        # side on every superstep — at k sources the frontier is k·V rows,
-        # dwarfing the static side, and that per-level sort measured +16%
-        # on the 64-source Brandes run. SHJ keeps the no-exchange property
-        # and streams the frontier unsorted.
-        return fe.hint("shuffle_hash")
+        if key not in self._adj_cache:
+            base = self.edges if all_cols else self.edges.select("src", "dst")
+            fe = (
+                base.repartition(self.num_partitions, "src")
+                .sortWithinPartitions("src")
+            )
+            if cache:
+                fe = fe.persist()
+            self._adj_cache[key] = fe
+        fe = self._adj_cache[key]
+        return fe.hint("shuffle_hash") if build_hash else fe
 
     def unpersist(self) -> None:
         for adj in self._adj_cache.values():

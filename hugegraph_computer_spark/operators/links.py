@@ -83,7 +83,7 @@ def links(
     loop_out = SuperstepLoop(
         spark, f"{job_name}_out", checkpoint_dir, max_supersteps, resume=resume
     )
-    edges = graph.flat_edges(all_cols=True)  # cached static join side
+    edges = graph.flat_edges(all_cols=True, build_hash=True)  # cached static join side
     carry = list(carry_props)
     missing = [p for p in carry if p not in edges.columns]
     if missing:

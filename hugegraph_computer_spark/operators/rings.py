@@ -68,7 +68,8 @@ def rings_detection(
     # edge columns gating every send, superstep 0 included. The filter and
     # projection sit over the cached src-partitioned frame (Graph.
     # flat_edges), so per-superstep joins re-shuffle only the frontier.
-    edges = graph.flat_edges(all_cols=True) if spread_cond is not None else graph.flat_edges()
+    edges = (graph.flat_edges(all_cols=True, build_hash=True)
+             if spread_cond is not None else graph.flat_edges(build_hash=True))
     if spread_cond is not None:
         edges = edges.where(F.expr(spread_cond))
     edges = edges.select("src", "dst")
@@ -190,7 +191,7 @@ def rings_detection_with_filter(
         spark, f"{job_name}_rings", checkpoint_dir, max_supersteps, resume=resume
     )
 
-    edges = graph.flat_edges(all_cols=True)  # cached static join side
+    edges = graph.flat_edges(all_cols=True, build_hash=True)  # cached static join side
     carry = rf.carry_props
     missing = [p for p in carry if p not in edges.columns]
     if missing:

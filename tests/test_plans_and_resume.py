@@ -216,5 +216,19 @@ def test_level_flood_join_no_exchange_on_cached_flat_edges(spark):
         bad2 = [l for l in static_branch_lines(plan2)
                 if "Exchange" in l or "Sort" in l]
         assert not bad2, (bad2, plan2[:1800])
+
+        # build_hash=True (the flood family's choice): the join must be a
+        # ShuffledHashJoin building on the cached side — SHJ never sorts
+        # either input at join time (SMJ would re-sort the k·V-row
+        # frontier every level), so asserting the strategy IS the no-sort
+        # assertion; the static branch additionally needs no Exchange.
+        fe_hash = g.flat_edges(build_hash=True)
+        plan3 = explain_str(
+            frontier.join(fe_hash, frontier["vid"] == fe_hash["src"]),
+            mode="simple",
+        )
+        assert "ShuffledHashJoin" in plan3, plan3[:1800]
+        bad3 = [l for l in static_branch_lines(plan3) if "Exchange" in l]
+        assert not bad3, (bad3, plan3[:1800])
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
