@@ -557,6 +557,28 @@ def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreness(_cp_graph(spark, sf_dir))
 
 
+WALK_PARAMS = dict(walks_per_vertex=2, walk_length=6, seed="walk")
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus over the customer-supplier
+    graph (operators/walks.py) — portable md5 neighbor choice, so the
+    DuckDB oracle replays every step exactly."""
+    from hugegraph_computer_spark.operators import random_walks
+
+    return random_walks(_cs_graph(spark, sf_dir), **WALK_PARAMS)
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, cnt) pairs within window 2 over the
+    walk corpus — the word2vec training table of DeepWalk."""
+    from hugegraph_computer_spark.operators import random_walks, skipgram_pairs
+
+    return skipgram_pairs(
+        random_walks(_cs_graph(spark, sf_dir), **WALK_PARAMS), window=2
+    )
+
+
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container decode end-to-end (VERDICT r3 missing #2 closed):
     binary PPM images and PCM16 WAVs are genuinely parsed (magic,
@@ -682,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_wcc": q_corpus_wcc,
         "coreness": q_coreness,
+        "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -713,6 +737,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "betweenness_tree": oracles.betweenness_tree_sql(),
         "coreness": oracles.coreness_sql(),
+        "random_walks": oracles.random_walks_sql(**WALK_PARAMS),
+        "skipgram_pairs": oracles.skipgram_pairs_sql(window=2, **WALK_PARAMS),
         "wcc_string_ids": oracles.wcc_string_ids_sql(),
         "wcc_uuid_ids": oracles.wcc_uuid_ids_sql(),
         "rings_filter_dsl": oracles.rings_filter_dsl_sql(),

@@ -20,6 +20,7 @@ from hugegraph_computer_spark.operators.rings import (
 from hugegraph_computer_spark.operators.links import links, links_from_describe
 from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
 from hugegraph_computer_spark.operators.kcore import coreness
+from hugegraph_computer_spark.operators.walks import random_walks, skipgram_pairs
 
 ALGORITHMS = {
     "page_rank": pagerank,
@@ -33,6 +34,7 @@ ALGORITHMS = {
     "links": links,
     "betweenness_centrality": betweenness_centrality,
     "coreness": coreness,
+    "random_walks": random_walks,
 }
 
 __all__ = [
@@ -50,5 +52,7 @@ __all__ = [
     "links_from_describe",
     "betweenness_centrality",
     "coreness",
+    "random_walks",
+    "skipgram_pairs",
     "ALGORITHMS",
 ]

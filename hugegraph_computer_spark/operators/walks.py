@@ -1,0 +1,184 @@
+"""Deterministic random-walk corpus + skip-gram pair extraction.
+
+An engine extension beyond the reference's algorithm set (the reference
+ships no sampling algorithms — its inventory ends at the path floods,
+rings/Links.java): a DeepWalk/node2vec-style walk generator producing
+the training corpus for graph-embedding models, the graph-side twin of
+the documents-table curation operators. Published method: Perozzi et
+al., "DeepWalk" (KDD 2014); Grover & Leskovec, "node2vec" (KDD 2016).
+
+Determinism (the whole point at 100 TB — a re-run of a failed shard must
+produce the SAME corpus): the neighbor choice at walk ``w``, step ``t``,
+vertex ``v`` is
+
+    nbrs_sorted[ md5_60bit(seed:w:t:v) mod deg(v) ]
+
+entirely JVM-side (``md5``/``conv``/``element_at``), drawn from the same
+portable 60-bit md5 family as SimHash/minhash (operators/dedup.py), so
+the DuckDB oracle reproduces every step exactly
+(oracles.random_walks_sql). No RNG state to ship, no Python in the loop.
+
+Scale shape: one cached neighbor-array frame, hash-partitioned by vertex
+(the ``groupBy`` that builds it is the only full-edge shuffle); each of
+the L supersteps shuffles only the walk frontier (V·walks_per_vertex
+rows) against it. Hub vertices hold their full sorted neighbor array in
+one row — O(1) random access is what a walk step needs; at extreme hub
+degrees the row grows, the documented trade against the chunked
+adjacency used by the BSP scatter ops (Graph.adjacency). Walks ending at
+a dead end (out-degree 0) simply stop — the inner join drops them.
+
+With ``checkpoint_dir`` the run is resumable like the path floods: each
+superstep's walk frame is a durable delta; resume replays the contiguous
+prefix (SuperstepLoop.resume_steps) and continues from the deepest step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation, functions as F
+
+from hugegraph_computer_spark.graph.bsp import (
+    SuperstepLoop,
+    release_local_checkpoint,
+)
+from hugegraph_computer_spark.graph.graph import Graph
+
+
+def _choice_hash(seed: str, step: int) -> Column:
+    """Portable 60-bit md5 of (seed, walk_id, step, vid) — identical in
+    Spark (conv/substring/md5) and DuckDB ('0x'||substr(md5 ...))::BIGINT."""
+    key = F.concat_ws(
+        ":",
+        F.lit(seed),
+        F.col("walk_id").cast("string"),
+        F.lit(str(step)),
+        F.col("vid").cast("string"),
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def random_walks(
+    graph: Graph,
+    walks_per_vertex: int = 1,
+    walk_length: int = 8,
+    seed: str = "walk",
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    job_name: str = "random_walks",
+) -> DataFrame:
+    """``(walk_id long, start long, step int, vid long)`` — one row per
+    visited position; ``walks_per_vertex`` walks start at EVERY vertex
+    (walk_id = start·walks_per_vertex + replica), each up to
+    ``walk_length`` steps (step 0 is the start vertex itself)."""
+    if walks_per_vertex < 1 or walk_length < 0:
+        raise ValueError("random_walks: walks_per_vertex >= 1, walk_length >= 0")
+    spark = graph.edges.sparkSession
+    loop = SuperstepLoop(
+        spark, job_name, checkpoint_dir, walk_length + 1, resume=resume
+    )
+
+    # sorted neighbor arrays: collect_set dedups parallel edges (walk
+    # semantics are over the simple graph), sort_array makes the indexed
+    # choice deterministic; groupBy leaves the frame hash-partitioned by
+    # vertex, so each superstep re-shuffles only the walk frontier
+    adj = (
+        graph.edges.select("src", "dst")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .select(
+            F.col("src").alias("avid"),
+            "nbrs",
+            F.size("nbrs").cast("long").alias("deg"),
+        )
+        .persist()
+    )
+    adj.count()
+
+    frames: list[tuple[int, DataFrame]] = []
+    locals_: list[DataFrame] = []
+
+    def keep(t: int, df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            df = loop.save(t, df, {})
+        else:
+            df = df.localCheckpoint(eager=True)
+            locals_.append(df)
+        frames.append((t, df))
+        return df
+
+    start_t = 0
+    state: DataFrame | None = None
+    if resume:
+        done = loop.resume_steps()
+        for k in done:
+            frames.append((k, loop.read_step(k)))
+        if done:
+            state = frames[-1][1]
+            start_t = done[-1] + 1
+
+    if state is None:
+        wpv = walks_per_vertex
+        state = (
+            graph.vertices()
+            .select(
+                "vid",
+                F.explode(F.sequence(F.lit(0), F.lit(wpv - 1))).alias("r"),
+            )
+            .select(
+                (F.col("vid") * wpv + F.col("r")).alias("walk_id"),
+                F.col("vid").alias("start"),
+                F.col("vid"),
+            )
+        )
+        state = keep(0, state)
+        start_t = 1
+
+    for t in range(start_t, walk_length + 1):
+        idx = (_choice_hash(seed, t - 1) % F.col("deg") + 1).cast("int")
+        nxt = state.join(adj, state["vid"] == adj["avid"]).select(
+            "walk_id", "start", F.element_at("nbrs", idx).alias("vid")
+        )
+        obs = Observation(f"{job_name}_s{t}")
+        state = keep(t, nxt.observe(obs, F.count(F.lit(1)).alias("n")))
+        if int(obs.get["n"] or 0) == 0:
+            # every walk hit a dead end: drop the empty frame (an empty
+            # durable step would corrupt replay-resume) and stop
+            loop.discard_step(t)
+            frames.pop()
+            break
+
+    out = spark.createDataFrame([], "walk_id long, start long, step int, vid long")
+    for t, df in frames:
+        out = out.unionByName(
+            df.select(
+                "walk_id", "start", F.lit(t).cast("int").alias("step"), "vid"
+            )
+        )
+    out = out.localCheckpoint(eager=True)
+    for df in locals_:
+        release_local_checkpoint(df)
+    adj.unpersist()
+    loop.cleanup()
+    return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """``(center long, context long, cnt long)`` — co-occurrence pairs
+    within ``window`` positions inside each walk, the skip-gram training
+    table DeepWalk feeds to word2vec. Self-join on walk_id: every key has
+    exactly the same bounded row count (walk_length+1), so the join has
+    no skew by construction and the pair explosion is ≤ (L+1)·2w per
+    walk; the groupBy's map-side partial agg collapses repeats before
+    the shuffle."""
+    a = walks.select("walk_id", F.col("step").alias("s1"), F.col("vid").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("s2"), F.col("vid").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("s2") != F.col("s1"))
+            & (F.abs(F.col("s2") - F.col("s1")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1428,3 +1428,68 @@ LEFT JOIN mo ON b.src = mo.src AND b.dst = mo.dst
 LEFT JOIN ov ON b.src = ov.src AND b.dst = ov.dst
 LEFT JOIN mi ON b.src = mi.src AND b.dst = mi.dst
 """
+
+
+def _walk_ctes(
+    walks_per_vertex: int, walk_length: int, seed: str
+) -> tuple[str, str]:
+    """(CTE block, per-step UNION ALL select) shared by the walk oracles:
+    sorted neighbor lists + the portable 60-bit md5 choice
+    nbrs[h(seed:walk:step:vid) % deg + 1], unrolled one CTE per step
+    (AS MATERIALIZED - chained CTEs re-inline exponentially otherwise)."""
+    wpv = walks_per_vertex
+    ctes = [
+        f"""adj AS MATERIALIZED (
+  SELECT src AS vid, list(dst ORDER BY dst) AS nbrs, COUNT(*) AS deg
+  FROM e GROUP BY src
+),
+w0 AS MATERIALIZED (
+  SELECT v.vid * {wpv} + r.r AS walk_id, v.vid AS start, v.vid AS vid
+  FROM (SELECT DISTINCT src AS vid FROM e) v
+  CROSS JOIN (SELECT unnest(generate_series(0, {wpv - 1})) AS r) r
+)"""
+    ]
+    for t in range(1, walk_length + 1):
+        h = (
+            f"(\'0x\' || substr(md5(\'{seed}:\' || w.walk_id || \':\' || {t - 1} "
+            f"|| \':\' || w.vid), 1, 15))::BIGINT"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.walk_id, w.start, a.nbrs[CAST({h} % a.deg + 1 AS INT)] AS vid
+  FROM w{t - 1} w JOIN adj a ON a.vid = w.vid
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT walk_id, start, CAST({t} AS INTEGER) AS step, vid FROM w{t}"
+        for t in range(walk_length + 1)
+    )
+    return ",\n".join(ctes), unions
+
+
+def random_walks_sql(
+    walks_per_vertex: int = 2, walk_length: int = 6, seed: str = "walk"
+) -> str:
+    """DuckDB twin of operators.walks.random_walks over the
+    customer-supplier graph."""
+    ctes, unions = _walk_ctes(walks_per_vertex, walk_length, seed)
+    return f"WITH {EDGES_CS},\n{ctes}\n{unions}"
+
+
+def skipgram_pairs_sql(
+    walks_per_vertex: int = 2,
+    walk_length: int = 6,
+    seed: str = "walk",
+    window: int = 2,
+) -> str:
+    """DuckDB twin of operators.walks.skipgram_pairs over the walk corpus."""
+    ctes, unions = _walk_ctes(walks_per_vertex, walk_length, seed)
+    return f"""WITH {EDGES_CS},
+{ctes},
+walks AS MATERIALIZED ({unions})
+SELECT a.vid AS center, b.vid AS context, COUNT(*) AS cnt
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= {window}
+GROUP BY 1, 2
+"""

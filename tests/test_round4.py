@@ -487,3 +487,91 @@ def test_ppm_stream_truncated_raises():
     _img, end = _decode_ppm_at(stream, 0)
     with pytest.raises(ValueError, match="truncated"):
         _decode_ppm_at(stream, end)
+
+
+# ------------------------------------------------ random walks (DeepWalk)
+
+
+def _py_walks(edges_df, wpv, length, seed="walk"):
+    """Independent Python replay of the md5 neighbor choice."""
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    verts = set()
+    for r in edges_df.select("src", "dst").collect():
+        adj[r.src].add(r.dst)
+        verts.add(r.src)
+        verts.add(r.dst)
+    rows = set()
+    for v in sorted(verts):
+        for rep in range(wpv):
+            wid, cur = v * wpv + rep, v
+            rows.add((wid, v, 0, v))
+            for t in range(1, length + 1):
+                nbrs = sorted(adj.get(cur, ()))
+                if not nbrs:
+                    break
+                h = int(
+                    hashlib.md5(f"{seed}:{wid}:{t-1}:{cur}".encode()).hexdigest()[:15],
+                    16,
+                )
+                cur = nbrs[h % len(nbrs)]
+                rows.add((wid, v, t, cur))
+    return rows
+
+
+def test_random_walks_match_python_oracle(spark):
+    from tests.oracle import random_edges
+    from tests.test_algorithms import make_graph
+    from hugegraph_computer_spark.operators import random_walks
+
+    g = make_graph(spark, random_edges(60, 150, seed=11))
+    got = {
+        (r.walk_id, r.start, r.step, r.vid)
+        for r in random_walks(g, walks_per_vertex=2, walk_length=5).collect()
+    }
+    assert got == _py_walks(g.edges, 2, 5)
+
+
+def test_skipgram_pairs_match_python_oracle(spark):
+    from collections import Counter
+
+    from tests.oracle import random_edges
+    from tests.test_algorithms import make_graph
+    from hugegraph_computer_spark.operators import random_walks, skipgram_pairs
+
+    g = make_graph(spark, random_edges(40, 90, seed=12))
+    walks = random_walks(g, walks_per_vertex=1, walk_length=4)
+    got = {
+        (r.center, r.context): r.cnt
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    by_walk = {}
+    for wid, _, step, vid in _py_walks(g.edges, 1, 4):
+        by_walk.setdefault(wid, {})[step] = vid
+    want = Counter()
+    for steps in by_walk.values():
+        for s1, c in steps.items():
+            for s2, x in steps.items():
+                if s1 != s2 and abs(s1 - s2) <= 2:
+                    want[(c, x)] += 1
+    assert got == dict(want)
+
+
+def test_random_walks_resume_bit_identical(spark, tmp_path):
+    from hugegraph_computer_spark.operators import random_walks
+
+    g = _chain_graph(spark, n=12)
+    ck = str(tmp_path / "walks")
+    full = sorted(
+        map(tuple, random_walks(g, 2, 6, checkpoint_dir=ck).collect())
+    )
+    _drop_last_step(ck, "random_walks", n=2)
+    resumed = sorted(
+        map(
+            tuple,
+            random_walks(g, 2, 6, checkpoint_dir=ck, resume=True).collect(),
+        )
+    )
+    assert resumed == full
