@@ -41,7 +41,9 @@ from hugegraph_computer_spark.operators import (  # noqa: E402
     degree_centrality,
     lpa,
     pagerank,
+    random_walks,
     rings_count,
+    skipgram_pairs,
     triangle_count,
     wcc,
 )
@@ -133,6 +135,18 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     timed(
         "betweenness_64src",
         lambda: betweenness_centrality(g_cs, sources=64, max_depth=12).count(),
+    )
+    # walk corpus + skip-gram extraction (embedding-training table): the
+    # walk loop shuffles only the frontier against the cached neighbor
+    # arrays; the pair join is skew-free by construction (bounded rows
+    # per walk_id)
+    timed(
+        "random_walks_skipgram",
+        lambda: consume(
+            skipgram_pairs(
+                random_walks(g_cs, walks_per_vertex=4, walk_length=8), window=2
+            )
+        ),
     )
     g_cp = Graph.from_edges(copurchase_edges(spark, sf_dir), drop_self_loops=True)
     timed("triangle_count", lambda: triangle_count(g_cp).count())  # oriented default
