@@ -579,6 +579,15 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighborhood_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style deterministic 2-hop fan-out sampling (3, 2) over
+    the customer-supplier graph (operators/gnn.py) — md5-ranked shared
+    neighbor sampling, replayed exactly by the DuckDB oracle."""
+    from hugegraph_computer_spark.operators import neighborhood_sample
+
+    return neighborhood_sample(_cs_graph(spark, sf_dir), fanouts=(3, 2), seed="gnn")
+
+
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container decode end-to-end (VERDICT r3 missing #2 closed):
     binary PPM images and PCM16 WAVs are genuinely parsed (magic,
@@ -706,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "neighborhood_sample": q_neighborhood_sample,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -739,6 +749,9 @@ def oracle_sql() -> dict[str, str]:
         "coreness": oracles.coreness_sql(),
         "random_walks": oracles.random_walks_sql(**WALK_PARAMS),
         "skipgram_pairs": oracles.skipgram_pairs_sql(window=2, **WALK_PARAMS),
+        "neighborhood_sample": oracles.neighborhood_sample_sql(
+            fanouts=(3, 2), seed="gnn"
+        ),
         "wcc_string_ids": oracles.wcc_string_ids_sql(),
         "wcc_uuid_ids": oracles.wcc_uuid_ids_sql(),
         "rings_filter_dsl": oracles.rings_filter_dsl_sql(),

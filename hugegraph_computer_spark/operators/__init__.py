@@ -21,6 +21,7 @@ from hugegraph_computer_spark.operators.links import links, links_from_describe
 from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
 from hugegraph_computer_spark.operators.kcore import coreness
 from hugegraph_computer_spark.operators.walks import random_walks, skipgram_pairs
+from hugegraph_computer_spark.operators.gnn import neighborhood_sample
 
 ALGORITHMS = {
     "page_rank": pagerank,
@@ -54,5 +55,6 @@ __all__ = [
     "coreness",
     "random_walks",
     "skipgram_pairs",
+    "neighborhood_sample",
     "ALGORITHMS",
 ]

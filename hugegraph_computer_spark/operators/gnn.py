@@ -1,0 +1,112 @@
+"""Deterministic k-hop neighborhood sampling — GNN mini-batch blocks.
+
+The graph-side twin of the document samplers (operators/sampling.py): a
+GraphSAGE-style fan-out sampler (Hamilton et al., "Inductive
+Representation Learning on Large Graphs", NeurIPS 2017) producing the
+sampled edge blocks a GNN trainer consumes. The reference ships no
+sampling surface (its algorithm inventory ends at the path floods,
+``computer-algorithm/.../rings/``, ``links/``); this is a
+training-pipeline extension like dedup/similarity/walks.
+
+Determinism (the contract at 100 TB — a re-run of a failed shard must
+emit the SAME blocks): neighbor selection at hop ``h`` for vertex ``v``
+keeps the ``fanout[h]`` neighbors with the smallest portable 60-bit
+``md5(seed:h:v:nbr)`` rank. The rank is per (hop, vertex, neighbor) —
+NOT per root — so every root sampling ``v`` at hop ``h`` sees the same
+sample. That is the shared-neighbor-sampling variant (used by
+LADIES/shaDow-GNN-style samplers): it makes the per-hop sampling cost
+O(distinct frontier vertices) instead of O(root-vertex pairs), and it
+makes the whole output replayable by a SQL oracle
+(oracles.neighborhood_sample_sql).
+
+Scale shape: one cached neighbor-array frame (the only full-edge
+shuffle). Each hop is (1) distinct-frontier shuffle bounded by
+|V|·prod(fanouts) rows, (2) an equi-join against the cached arrays, and
+(3) a PER-ROW JVM kernel — rank/sort/slice entirely inside higher-order
+functions (``transform``/``array_sort``/``slice``), so no explode
+happens before sampling and no window function ranks |E| rows. The
+explode emits only the ≤ fanout sampled edges. Hub vertices cost
+O(deg·log deg) in the per-row sort, bounded by the same single-row
+trade documented in operators/walks.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hugegraph_computer_spark.graph.graph import Graph
+
+
+def _rank(seed: str, hop: int, vid: Column, nbr: Column) -> Column:
+    """Portable 60-bit md5 rank of (seed, hop, vid, nbr) — identical in
+    Spark and DuckDB ('0x'||substr(md5(...),1,15))::BIGINT."""
+    key = F.concat_ws(
+        ":", F.lit(seed), F.lit(str(hop)), vid.cast("string"), nbr.cast("string")
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def neighborhood_sample(
+    graph: Graph,
+    fanouts: Sequence[int] = (10, 5),
+    roots: DataFrame | None = None,
+    seed: str = "gnn",
+) -> DataFrame:
+    """``(root long, hop int, src long, dst long)`` — the sampled edge
+    blocks of a GraphSAGE mini-batch: for every root (default: all
+    vertices), hop 1 keeps ≤ ``fanouts[0]`` of the root's out-neighbors,
+    hop 2 keeps ≤ ``fanouts[1]`` out-neighbors of each hop-1 vertex, and
+    so on. Parallel edges sample once (simple-graph semantics, matching
+    operators/walks.py); vertices with out-degree < fanout keep all
+    their neighbors; dead ends emit nothing at that hop.
+    """
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError("neighborhood_sample: fanouts must be non-empty, all >= 1")
+
+    # sorted neighbor arrays, hash-partitioned by vertex (same build as
+    # operators/walks.py) — the static join side for every hop
+    adj = (
+        graph.edges.select("src", "dst")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .select(F.col("src").alias("avid"), "nbrs")
+        .persist()
+    )
+    adj.count()
+
+    if roots is None:
+        frontier = graph.vertices().select(
+            F.col("vid").alias("root"), F.col("vid")
+        )
+    else:
+        frontier = roots.select(F.col("root"), F.col("root").alias("vid"))
+
+    spark = graph.edges.sparkSession
+    out = spark.createDataFrame([], "root long, hop int, src long, dst long")
+    for h, fanout in enumerate(fanouts, start=1):
+        # per-row kernel: rank each neighbor, keep the fanout smallest.
+        # Bind hop via closure, never lambda defaults (see verify notes).
+        joined = frontier.join(adj, frontier["vid"] == adj["avid"])
+        ranked = F.array_sort(
+            F.transform(
+                F.col("nbrs"),
+                lambda x: F.struct(
+                    _rank(seed, h, F.col("avid"), x).alias("r"), x.alias("d")
+                ),
+            )
+        )
+        block = joined.select(
+            "root",
+            F.lit(h).cast("int").alias("hop"),
+            F.col("vid").alias("src"),
+            F.explode(F.slice(ranked, 1, int(fanout)).getField("d")).alias("dst"),
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(block)
+        if h < len(fanouts):
+            # next frontier: distinct (root, sampled dst) — bounded by
+            # |roots|·prod(fanouts[:h]); the only per-hop shuffle
+            frontier = block.select("root", F.col("dst").alias("vid")).distinct()
+    adj.unpersist()
+    return out

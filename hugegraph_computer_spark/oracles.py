@@ -1493,3 +1493,44 @@ FROM walks a JOIN walks b
  AND abs(a.step - b.step) <= {window}
 GROUP BY 1, 2
 """
+
+
+def neighborhood_sample_sql(
+    fanouts: tuple[int, ...] = (3, 2), seed: str = "gnn"
+) -> str:
+    """DuckDB twin of operators.gnn.neighborhood_sample over the
+    customer-supplier graph, all vertices as roots: per hop h, keep the
+    fanouts[h-1] neighbors with the smallest 60-bit md5(seed:h:src:dst)
+    rank (dst tie-break), then chain blocks root->hop1->hop2->..."""
+    ctes = [f"roots AS MATERIALIZED (SELECT DISTINCT src AS root FROM e)"]
+    for h, fanout in enumerate(fanouts, start=1):
+        rank = (
+            f"('0x' || substr(md5('{seed}:{h}:' || src || ':' || dst), 1, 15))::BIGINT"
+        )
+        ctes.append(
+            f"""s{h} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY {rank}, dst) AS rk
+    FROM e
+  ) WHERE rk <= {fanout}
+)"""
+        )
+    blocks = [
+        """b1 AS MATERIALIZED (
+  SELECT f.root, f.root AS src, s.dst FROM roots f JOIN s1 s ON s.src = f.root
+)"""
+    ]
+    for h in range(2, len(fanouts) + 1):
+        blocks.append(
+            f"""b{h} AS MATERIALIZED (
+  SELECT f.root, f.vid AS src, s.dst
+  FROM (SELECT DISTINCT root, dst AS vid FROM b{h - 1}) f
+  JOIN s{h} s ON s.src = f.vid
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT root, CAST({h} AS INTEGER) AS hop, src, dst FROM b{h}"
+        for h in range(1, len(fanouts) + 1)
+    )
+    return f"WITH {EDGES_CS},\n" + ",\n".join(ctes + blocks) + f"\n{unions}"

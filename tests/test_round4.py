@@ -575,3 +575,81 @@ def test_random_walks_resume_bit_identical(spark, tmp_path):
         )
     )
     assert resumed == full
+
+
+# --------------------------------------- GNN neighborhood sampling
+
+
+def _py_sample(edges_df, fanouts, roots=None, seed="gnn"):
+    """Independent Python replay of the md5-ranked fan-out sampler."""
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    verts = set()
+    for r in edges_df.select("src", "dst").collect():
+        adj[r.src].add(r.dst)
+        verts.update((r.src, r.dst))
+
+    def rank(h, v, d):
+        return int(
+            hashlib.md5(f"{seed}:{h}:{v}:{d}".encode()).hexdigest()[:15], 16
+        )
+
+    def pick(h, v, f):
+        return sorted(adj.get(v, ()), key=lambda d: (rank(h, v, d), d))[:f]
+
+    want = set()
+    for root in sorted(verts) if roots is None else roots:
+        frontier = {root}
+        for h, f in enumerate(fanouts, start=1):
+            nxt = set()
+            for v in sorted(frontier):
+                for d in pick(h, v, f):
+                    want.add((root, h, v, d))
+                    nxt.add(d)
+            frontier = nxt
+    return want
+
+
+def test_neighborhood_sample_match_python_oracle(spark):
+    from tests.oracle import random_edges
+    from tests.test_algorithms import make_graph
+    from hugegraph_computer_spark.operators import neighborhood_sample
+
+    g = make_graph(spark, random_edges(50, 130, seed=13))
+    got = {
+        (r.root, r.hop, r.src, r.dst)
+        for r in neighborhood_sample(g, fanouts=(3, 2, 2)).collect()
+    }
+    assert got == _py_sample(g.edges, (3, 2, 2))
+
+
+def test_neighborhood_sample_root_subset_and_fanout_cap(spark):
+    from tests.oracle import random_edges
+    from tests.test_algorithms import make_graph
+    from hugegraph_computer_spark.operators import neighborhood_sample
+
+    g = make_graph(spark, random_edges(40, 100, seed=14))
+    roots = spark.createDataFrame([(1,), (5,), (9,)], "root long")
+    out = neighborhood_sample(g, fanouts=(2, 3), roots=roots)
+    rows = out.collect()
+    got = {(r.root, r.hop, r.src, r.dst) for r in rows}
+    assert got == _py_sample(g.edges, (2, 3), roots=[1, 5, 9])
+    # fanout cap holds per (root, hop, src)
+    from collections import Counter
+
+    per_src = Counter((r.root, r.hop, r.src) for r in rows)
+    for (_, hop, _), n in per_src.items():
+        assert n <= (2 if hop == 1 else 3)
+
+
+def test_neighborhood_sample_rejects_bad_fanouts(spark):
+    from tests.test_algorithms import make_graph
+    from hugegraph_computer_spark.operators import neighborhood_sample
+
+    g = make_graph(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        neighborhood_sample(g, fanouts=())
+    with pytest.raises(ValueError):
+        neighborhood_sample(g, fanouts=(3, 0))
