@@ -579,6 +579,22 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walks (node2vec p=0.25/q=4, BFS-leaning) over
+    the customer-supplier graph — integer-scaled bias weights, so the
+    cumulative-weight draw is bit-identical in the DuckDB oracle."""
+    from hugegraph_computer_spark.operators import node2vec_walks
+
+    return node2vec_walks(
+        _cs_graph(spark, sf_dir),
+        walks_per_vertex=2,
+        walk_length=6,
+        p=0.25,
+        q=4.0,
+        seed="n2v",
+    )
+
+
 def q_neighborhood_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style deterministic 2-hop fan-out sampling (3, 2) over
     the customer-supplier graph (operators/gnn.py) — md5-ranked shared
@@ -715,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "node2vec_walks": q_node2vec_walks,
         "neighborhood_sample": q_neighborhood_sample,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
@@ -749,6 +766,9 @@ def oracle_sql() -> dict[str, str]:
         "coreness": oracles.coreness_sql(),
         "random_walks": oracles.random_walks_sql(**WALK_PARAMS),
         "skipgram_pairs": oracles.skipgram_pairs_sql(window=2, **WALK_PARAMS),
+        "node2vec_walks": oracles.node2vec_walks_sql(
+            walks_per_vertex=2, walk_length=6, p=0.25, q=4.0, seed="n2v"
+        ),
         "neighborhood_sample": oracles.neighborhood_sample_sql(
             fanouts=(3, 2), seed="gnn"
         ),

@@ -20,7 +20,11 @@ from hugegraph_computer_spark.operators.rings import (
 from hugegraph_computer_spark.operators.links import links, links_from_describe
 from hugegraph_computer_spark.operators.betweenness import betweenness_centrality
 from hugegraph_computer_spark.operators.kcore import coreness
-from hugegraph_computer_spark.operators.walks import random_walks, skipgram_pairs
+from hugegraph_computer_spark.operators.walks import (
+    node2vec_walks,
+    random_walks,
+    skipgram_pairs,
+)
 from hugegraph_computer_spark.operators.gnn import neighborhood_sample
 
 ALGORITHMS = {
@@ -54,6 +58,7 @@ __all__ = [
     "betweenness_centrality",
     "coreness",
     "random_walks",
+    "node2vec_walks",
     "skipgram_pairs",
     "neighborhood_sample",
     "ALGORITHMS",

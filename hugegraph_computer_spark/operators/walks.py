@@ -34,7 +34,7 @@ prefix (SuperstepLoop.resume_steps) and continues from the deepest step.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation, functions as F
+from pyspark.sql import Column, DataFrame, Observation, Window, functions as F
 
 from hugegraph_computer_spark.graph.bsp import (
     SuperstepLoop,
@@ -182,3 +182,178 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ------------------------------------------------------------ node2vec
+
+
+def _bias_weights(p: float, q: float) -> tuple[int, int, int]:
+    """node2vec's 1/p, 1, 1/q search bias as INTEGER weights scaled by
+    1e6 (clamped >= 1): the cumulative-weight choice is pure 64-bit
+    integer arithmetic, bit-identical in Spark, DuckDB, and Python —
+    no float summation order to disagree on."""
+    scale = 1_000_000
+    return max(1, round(scale / p)), scale, max(1, round(scale / q))
+
+
+def node2vec_walks(
+    graph: Graph,
+    walks_per_vertex: int = 1,
+    walk_length: int = 8,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: str = "n2v",
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    job_name: str = "node2vec_walks",
+) -> DataFrame:
+    """Second-order biased walks (Grover & Leskovec, node2vec, KDD 2016):
+    same output schema as :func:`random_walks`, but the step from ``vid``
+    with predecessor ``prev`` weights each candidate ``x`` by 1/p if
+    ``x == prev`` (return), 1 if ``x`` is also a neighbor of ``prev``
+    (BFS-ish), else 1/q (DFS-ish). Step 1 is uniform (no predecessor).
+
+    The draw: ``u = md5_60bit(seed:walk:step:vid) mod total_weight``;
+    the chosen neighbor is the first whose integer cumulative weight
+    exceeds ``u``. Unlike :func:`random_walks` (O(1) indexed choice on
+    neighbor arrays), the biased step is candidate-exploded: frontier ⋈
+    cached flat edges emits one row per (walk, candidate), the d=1 test
+    is a pair equi-join of (prev, candidate) against the SAME cached
+    flat-edge frame (hash join, O(1) per candidate — NOT an
+    array_contains scan of the predecessor's neighbor list, which is
+    O(deg_v·deg_prev) per step and quadratic on hub-hub transitions),
+    and the cumulative choice is a window sum per walk. Per superstep:
+    O(frontier·avg_deg) rows through two hash joins and one walk-keyed
+    window — the same O(E·wpv) scatter volume per superstep as PageRank,
+    no quadratic term at any degree distribution.
+
+    Simple-graph semantics like random_walks: Graph.from_edges(dedup)
+    already collapses parallel edges, so each distinct neighbor is one
+    candidate.
+
+    With ``checkpoint_dir`` each superstep's (walk_id, start, prev, vid)
+    state is a durable delta; resume replays the contiguous prefix.
+    """
+    if walks_per_vertex < 1 or walk_length < 0:
+        raise ValueError("node2vec_walks: walks_per_vertex >= 1, walk_length >= 0")
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec_walks: p and q must be > 0")
+    w_ret, w_in, w_out = _bias_weights(p, q)
+    spark = graph.edges.sparkSession
+    loop = SuperstepLoop(
+        spark, job_name, checkpoint_dir, walk_length + 1, resume=resume
+    )
+
+    # one cached src-partitioned flat frame serves BOTH roles: the
+    # candidate generator (joined on current vid) and the d=1 membership
+    # set (pair-joined on (prev, candidate))
+    flat = graph.flat_edges(build_hash=True)
+    mem = graph.flat_edges().select(
+        F.col("src").alias("mprev"),
+        F.col("dst").alias("mcand"),
+        F.lit(True).alias("d1"),
+    )
+
+    frames: list[tuple[int, DataFrame]] = []
+    locals_: list[DataFrame] = []
+
+    def keep(t: int, df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            df = loop.save(t, df, {})
+        else:
+            df = df.localCheckpoint(eager=True)
+            locals_.append(df)
+        frames.append((t, df))
+        return df
+
+    start_t = 0
+    state: DataFrame | None = None
+    if resume:
+        done = loop.resume_steps()
+        for k in done:
+            frames.append((k, loop.read_step(k)))
+        if done:
+            state = frames[-1][1]
+            start_t = done[-1] + 1
+
+    if state is None:
+        wpv = walks_per_vertex
+        state = (
+            graph.vertices()
+            .select(
+                "vid",
+                F.explode(F.sequence(F.lit(0), F.lit(wpv - 1))).alias("r"),
+            )
+            .select(
+                (F.col("vid") * wpv + F.col("r")).alias("walk_id"),
+                F.col("vid").alias("start"),
+                F.lit(None).cast("long").alias("prev"),
+                F.col("vid"),
+            )
+        )
+        state = keep(0, state)
+        start_t = 1
+
+    for t in range(start_t, walk_length + 1):
+        cand = state.join(flat, state["vid"] == flat["src"]).select(
+            "walk_id", "start", "prev", "vid", F.col("dst").alias("cand")
+        )
+        if t == 1:
+            # no predecessor: uniform choice (all weights 1 makes the
+            # windowed pick identical to nbrs_sorted[h % deg])
+            wgt = F.lit(1).cast("long")
+        else:
+            cand = cand.join(
+                mem,
+                (F.col("prev") == F.col("mprev"))
+                & (F.col("cand") == F.col("mcand")),
+                "left",
+            )
+            wgt = (
+                F.when(F.col("cand") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("d1"), F.lit(w_in))
+                .otherwise(F.lit(w_out))
+                .cast("long")
+            )
+        win_cum = Window.partitionBy("walk_id").orderBy("cand")
+        win_tot = Window.partitionBy("walk_id")
+        # the draw + rename happen on NAMED columns computed via
+        # withColumn first — embedding expressions that reference
+        # prev/vid directly into a select that also re-aliases them
+        # makes Spark bind the refs to the renamed siblings (silently
+        # wrong values; see the aggregate-fold variant this replaced)
+        picked = (
+            cand.withColumn("wgt", wgt)
+            .withColumn("cum", F.sum("wgt").over(win_cum))
+            .withColumn("tot", F.sum("wgt").over(win_tot))
+            .withColumn("u", _choice_hash(seed, t - 1) % F.col("tot"))
+            .where(
+                (F.col("cum") - F.col("wgt") <= F.col("u"))
+                & (F.col("u") < F.col("cum"))
+            )
+        )
+        nxt = picked.select(
+            "walk_id",
+            "start",
+            F.col("vid").alias("prev"),
+            F.col("cand").alias("vid"),
+        )
+        obs = Observation(f"{job_name}_s{t}")
+        state = keep(t, nxt.observe(obs, F.count(F.lit(1)).alias("n")))
+        if int(obs.get["n"] or 0) == 0:
+            loop.discard_step(t)
+            frames.pop()
+            break
+
+    out = spark.createDataFrame([], "walk_id long, start long, step int, vid long")
+    for t, df in frames:
+        out = out.unionByName(
+            df.select(
+                "walk_id", "start", F.lit(t).cast("int").alias("step"), "vid"
+            )
+        )
+    out = out.localCheckpoint(eager=True)
+    for df in locals_:
+        release_local_checkpoint(df)
+    loop.cleanup()
+    return out

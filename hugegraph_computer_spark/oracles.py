@@ -1534,3 +1534,79 @@ def neighborhood_sample_sql(
         for h in range(1, len(fanouts) + 1)
     )
     return f"WITH {EDGES_CS},\n" + ",\n".join(ctes + blocks) + f"\n{unions}"
+
+
+def node2vec_walks_sql(
+    walks_per_vertex: int = 2,
+    walk_length: int = 6,
+    p: float = 0.25,
+    q: float = 4.0,
+    seed: str = "n2v",
+) -> str:
+    """DuckDB twin of operators.walks.node2vec_walks over the
+    customer-supplier graph: step 1 is the uniform indexed choice; each
+    later step unnests the current vertex's neighbor list, weights every
+    candidate with the SAME integer-scaled 1/p,1,1/q bias (d=1 membership
+    via LEFT JOIN prev->cand against e), and keeps the candidate whose
+    integer cumulative weight interval contains h % total."""
+    from hugegraph_computer_spark.operators.walks import _bias_weights
+
+    w_ret, w_in, w_out = _bias_weights(p, q)
+    wpv = walks_per_vertex
+    ctes = [
+        f"""adj AS MATERIALIZED (
+  SELECT src AS vid, list(dst ORDER BY dst) AS nbrs, COUNT(*) AS deg
+  FROM e GROUP BY src
+),
+w0 AS MATERIALIZED (
+  SELECT v.vid * {wpv} + r.r AS walk_id, v.vid AS start,
+         CAST(NULL AS BIGINT) AS prev, v.vid AS vid
+  FROM (SELECT DISTINCT src AS vid FROM e) v
+  CROSS JOIN (SELECT unnest(generate_series(0, {wpv - 1})) AS r) r
+)"""
+    ]
+    if walk_length >= 1:
+        h1 = (
+            f"('0x' || substr(md5('{seed}:' || w.walk_id || ':0' "
+            f"|| ':' || w.vid), 1, 15))::BIGINT"
+        )
+        ctes.append(
+            f"""w1 AS MATERIALIZED (
+  SELECT w.walk_id, w.start, w.vid AS prev,
+         a.nbrs[CAST({h1} % a.deg + 1 AS INT)] AS vid
+  FROM w0 w JOIN adj a ON a.vid = w.vid
+)"""
+        )
+    for t in range(2, walk_length + 1):
+        h = (
+            f"('0x' || substr(md5('{seed}:' || c.walk_id || ':' || {t - 1} "
+            f"|| ':' || c.cur), 1, 15))::BIGINT"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT walk_id, start, cur AS prev, cand AS vid
+  FROM (
+    SELECT q.*,
+           SUM(wgt) OVER (PARTITION BY walk_id ORDER BY cand) AS cum,
+           SUM(wgt) OVER (PARTITION BY walk_id) AS tot
+    FROM (
+      SELECT c.walk_id, c.start, c.cur, c.cand,
+             CASE WHEN c.cand = c.prev THEN {w_ret}
+                  WHEN pe.src IS NOT NULL THEN {w_in}
+                  ELSE {w_out} END AS wgt,
+             {h} AS h
+      FROM (
+        SELECT w.walk_id, w.start, w.prev, w.vid AS cur,
+               unnest(a.nbrs) AS cand
+        FROM w{t - 1} w JOIN adj a ON a.vid = w.vid
+      ) c
+      LEFT JOIN e pe ON pe.src = c.prev AND pe.dst = c.cand
+    ) q
+  ) WHERE cum - wgt <= (h % tot) AND (h % tot) < cum
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT walk_id, start, CAST({t} AS INTEGER) AS step, vid FROM w{t}"
+        for t in range(walk_length + 1)
+    )
+    return f"WITH {EDGES_CS},\n" + ",\n".join(ctes) + f"\n{unions}"

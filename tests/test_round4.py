@@ -653,3 +653,118 @@ def test_neighborhood_sample_rejects_bad_fanouts(spark):
         neighborhood_sample(g, fanouts=())
     with pytest.raises(ValueError):
         neighborhood_sample(g, fanouts=(3, 0))
+
+
+# ------------------------------------------------ node2vec biased walks
+
+
+def _py_node2vec(edges_df, wpv, length, p, q, seed="n2v"):
+    """Independent Python replay of the integer-weighted biased choice."""
+    import hashlib
+    from collections import defaultdict
+
+    from hugegraph_computer_spark.operators.walks import _bias_weights
+
+    w_ret, w_in, w_out = _bias_weights(p, q)
+    adj = defaultdict(set)
+    verts = set()
+    for r in edges_df.select("src", "dst").collect():
+        adj[r.src].add(r.dst)
+        verts.update((r.src, r.dst))
+    rows = set()
+    for v in sorted(verts):
+        for rep in range(wpv):
+            wid, prev, cur = v * wpv + rep, None, v
+            rows.add((wid, v, 0, v))
+            for t in range(1, length + 1):
+                nbrs = sorted(adj.get(cur, ()))
+                if not nbrs:
+                    break
+                h = int(
+                    hashlib.md5(
+                        f"{seed}:{wid}:{t-1}:{cur}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                if prev is None:
+                    nxt = nbrs[h % len(nbrs)]
+                else:
+                    ws = [
+                        w_ret
+                        if x == prev
+                        else (w_in if x in adj.get(prev, ()) else w_out)
+                        for x in nbrs
+                    ]
+                    u = h % sum(ws)
+                    s, nxt = 0, None
+                    for x, w in zip(nbrs, ws):
+                        s += w
+                        if s > u:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                rows.add((wid, v, t, cur))
+    return rows
+
+
+def test_node2vec_walks_match_python_oracle(spark):
+    from tests.oracle import random_edges
+    from tests.test_algorithms import make_graph
+    from hugegraph_computer_spark.operators import node2vec_walks
+
+    g = make_graph(spark, random_edges(40, 110, seed=15))
+    got = {
+        (r.walk_id, r.start, r.step, r.vid)
+        for r in node2vec_walks(
+            g, walks_per_vertex=2, walk_length=5, p=0.25, q=4.0
+        ).collect()
+    }
+    assert got == _py_node2vec(g.edges, 2, 5, 0.25, 4.0)
+
+
+def test_node2vec_uniform_pq_matches_its_own_replay(spark):
+    # p=q=1 is still a valid (uniform-biased) parameterization
+    from tests.oracle import random_edges
+    from tests.test_algorithms import make_graph
+    from hugegraph_computer_spark.operators import node2vec_walks
+
+    g = make_graph(spark, random_edges(30, 70, seed=16))
+    got = {
+        (r.walk_id, r.start, r.step, r.vid)
+        for r in node2vec_walks(g, walks_per_vertex=1, walk_length=4).collect()
+    }
+    assert got == _py_node2vec(g.edges, 1, 4, 1.0, 1.0)
+
+
+def test_node2vec_resume_bit_identical(spark, tmp_path):
+    from hugegraph_computer_spark.operators import node2vec_walks
+
+    g = _chain_graph(spark, n=12)
+    ck = str(tmp_path / "n2v")
+    full = sorted(
+        map(
+            tuple,
+            node2vec_walks(g, 2, 6, p=0.5, q=2.0, checkpoint_dir=ck).collect(),
+        )
+    )
+    _drop_last_step(ck, "node2vec_walks", n=2)
+    resumed = sorted(
+        map(
+            tuple,
+            node2vec_walks(
+                g, 2, 6, p=0.5, q=2.0, checkpoint_dir=ck, resume=True
+            ).collect(),
+        )
+    )
+    assert resumed == full
+
+
+def test_node2vec_rejects_bad_params(spark):
+    from tests.test_algorithms import make_graph
+    from hugegraph_computer_spark.operators import node2vec_walks
+
+    g = make_graph(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        node2vec_walks(g, p=0.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(g, q=-1.0)
