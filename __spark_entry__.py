@@ -66,6 +66,7 @@ from hugegraph_computer_spark.operators.similarity import (
     ivf_topk,
 )
 from hugegraph_computer_spark.operators.text import (
+    chunk_documents,
     curation_filter,
     fingerprint,
     lang_id,
@@ -440,6 +441,34 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window training chunks (20-token window, 4-token
+    overlap so the short synthetic docs still multi-chunk) — pure JVM
+    split/slice projection, no shuffle (operators/text.py)."""
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=20, overlap=4)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf·idf (ratio-form
+    score — exact integer products + one IEEE division, hash-stable
+    across engines; operators/text.py)."""
+    from hugegraph_computer_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def q_pmi_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI ratios over the skip-gram co-occurrence pairs of the walk
+    corpus — the word2vec-style association table (operators/text.py
+    pmi_scores ∘ operators/walks skipgram_pairs)."""
+    from hugegraph_computer_spark.operators import random_walks, skipgram_pairs
+    from hugegraph_computer_spark.operators.text import pmi_scores
+
+    return pmi_scores(
+        skipgram_pairs(random_walks(_cs_graph(spark, sf_dir), **WALK_PARAMS), window=2)
+    )
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
@@ -712,6 +741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         # --- text analysis ---
         "token_stats": q_token_stats,
+        "chunk_documents": q_chunk_documents,
+        "tfidf_topk": q_tfidf_topk,
+        "pmi_skipgram": q_pmi_skipgram,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -784,6 +816,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": oracles.simhash_near_pairs_sql(max_hamming=3),
         "dedup_clusters": oracles.dedup_clusters_sql(threshold=0.3),
         "token_stats": oracles.token_stats_sql(),
+        "chunk_documents": oracles.chunk_documents_sql(max_tokens=20, overlap=4),
+        "tfidf_topk": oracles.tfidf_topk_sql(k=5),
+        "pmi_skipgram": oracles.pmi_skipgram_sql(window=2, **WALK_PARAMS),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),
         "fingerprint": oracles.fingerprint_sql(),

@@ -41,6 +41,8 @@ from hugegraph_computer_spark.operators import (  # noqa: E402
     degree_centrality,
     lpa,
     pagerank,
+    neighborhood_sample,
+    node2vec_walks,
     random_walks,
     rings_count,
     skipgram_pairs,
@@ -147,6 +149,20 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
                 random_walks(g_cs, walks_per_vertex=4, walk_length=8), window=2
             )
         ),
+    )
+    # biased 2nd-order walks: candidate-exploded (O(E·wpv)/superstep,
+    # PageRank-scatter volume) — the weighted counterpart of the line above
+    timed(
+        "node2vec_walks",
+        lambda: consume(
+            node2vec_walks(g_cs, walks_per_vertex=2, walk_length=6, p=0.25, q=4.0)
+        ),
+    )
+    # GNN mini-batch blocks: per-row rank/sort/slice kernel over the cached
+    # neighbor arrays, one distinct-frontier shuffle per hop
+    timed(
+        "neighborhood_sample",
+        lambda: consume(neighborhood_sample(g_cs, fanouts=(10, 5))),
     )
     g_cp = Graph.from_edges(copurchase_edges(spark, sf_dir), drop_self_loops=True)
     timed("triangle_count", lambda: triangle_count(g_cp).count())  # oriented default

@@ -166,3 +166,122 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """(doc_id, fp) — md5 of whitespace-normalized lowercase text."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, chunk_id int, n_tokens int, chunk_text)`` — sliding
+    token-window chunks, the pre-tokenizer splitting step of an LLM
+    training pipeline: chunk k covers tokens [k·stride, k·stride +
+    max_tokens) with stride = max_tokens − overlap; the last chunk may
+    be short, and a document of ≤ max_tokens tokens is one chunk.
+
+    Pure JVM per-row kernel (split / sequence / slice / array_join in
+    one projection — no shuffle at all, runs at scan speed and composes
+    with pushdown): the chunk count is integer math on the token count,
+    so the layout is deterministic and engine-portable
+    (oracles.chunk_documents_sql). Token = the engine-wide whitespace
+    tokenizer (_toks), so counts agree with token_stats."""
+    if max_tokens < 1 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            "chunk_documents: need max_tokens >= 1 and 0 <= overlap < max_tokens"
+        )
+    stride = max_tokens - overlap
+    toks = _toks(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - max_tokens) / F.lit(stride))).cast("int")
+    )
+    out = docs.select(
+        id_col,
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, term, tf long, df long, score double, rank int)`` —
+    the top-k characteristic terms per document by tf·idf, the classic
+    relevance/keyword-extraction table.
+
+    The score is the RATIO form ``tf · (N+1) / (df+1)`` — products of
+    exact integers followed by ONE correctly-rounded IEEE division — so
+    it is bit-identical across Spark/DuckDB/numpy; the monotone ``log``
+    is left to the consumer (libm log implementations differ in the last
+    ulp across engines, which would break value-hash comparison without
+    changing the ranking). Ties rank by term ascending (deterministic).
+
+    Scale shape: explode → (doc, term) groupBy with map-side partial
+    agg, one |vocab|-row df aggregate joined back on term (broadcastable
+    — vocabulary ≪ corpus), one doc-keyed window for the top-k. The N
+    scalar is a count() action (a scalar aggregate, not a data
+    collect)."""
+    if k < 1:
+        raise ValueError("tfidf_topk: k >= 1")
+    n_docs = docs.count()
+    toks = docs.select(
+        id_col, F.explode(_toks(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score",
+        (F.col("tf") * F.lit(int(n_docs) + 1)).cast("double") / (F.col("df") + 1),
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def pmi_scores(
+    pairs: DataFrame,
+    center_col: str = "center",
+    context_col: str = "context",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """``(center, context, cnt, pmi_ratio double)`` — pointwise mutual
+    information of a co-occurrence table (e.g. skip-gram pairs from
+    operators.walks): ``pmi_ratio = cnt·total / (c_center·c_context)``,
+    the ratio whose log is PMI. Ratio form for the same cross-engine
+    bit-exactness reason as tfidf_topk (products exact below 2^53 at
+    verification scale; one IEEE division).
+
+    Two keyed window sums carry the marginals on the same frame (no
+    self-joins); the global total is a scalar aggregate on the driver —
+    NOT an empty-partitionBy window, which would funnel the whole table
+    through one partition."""
+    total = pairs.agg(F.sum(cnt_col)).first()[0] or 0
+    w_c = Window.partitionBy(center_col)
+    w_x = Window.partitionBy(context_col)
+    cnt = F.col(cnt_col)
+    return pairs.select(
+        center_col,
+        context_col,
+        cnt.alias("cnt"),
+        (
+            (cnt * F.lit(int(total))).cast("double")
+            / (F.sum(cnt_col).over(w_c) * F.sum(cnt_col).over(w_x))
+        ).alias("pmi_ratio"),
+    )

@@ -133,9 +133,15 @@ def random_walks(
         start_t = 1
 
     for t in range(start_t, walk_length + 1):
+        # compute the choice via withColumn BEFORE aliasing it to "vid":
+        # the hash inside idx references F.col("vid"), and a select that
+        # simultaneously re-binds that name can make Spark resolve the
+        # ref against the new sibling alias (see node2vec_walks)
         idx = (_choice_hash(seed, t - 1) % F.col("deg") + 1).cast("int")
-        nxt = state.join(adj, state["vid"] == adj["avid"]).select(
-            "walk_id", "start", F.element_at("nbrs", idx).alias("vid")
+        nxt = (
+            state.join(adj, state["vid"] == adj["avid"])
+            .withColumn("_next", F.element_at("nbrs", idx))
+            .select("walk_id", "start", F.col("_next").alias("vid"))
         )
         obs = Observation(f"{job_name}_s{t}")
         state = keep(t, nxt.observe(obs, F.count(F.lit(1)).alias("n")))

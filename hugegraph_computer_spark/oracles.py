@@ -1610,3 +1610,81 @@ w0 AS MATERIALIZED (
         for t in range(walk_length + 1)
     )
     return f"WITH {EDGES_CS},\n" + ",\n".join(ctes) + f"\n{unions}"
+
+
+def chunk_documents_sql(max_tokens: int = 128, overlap: int = 16) -> str:
+    """DuckDB twin of operators.text.chunk_documents (same stride math,
+    1-based inclusive list_slice == Spark's slice(start, length) here
+    because the window length is fixed)."""
+    stride = max_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {max_tokens} THEN 1
+              ELSE 1 + CAST(ceil((n - {max_tokens}) / {stride}.0) AS INT)
+         END AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(k.k AS INTEGER) AS chunk_id,
+       CAST(len(toks[k.k * {stride} + 1 : k.k * {stride} + {max_tokens}]) AS INTEGER) AS n_tokens,
+       array_to_string(toks[k.k * {stride} + 1 : k.k * {stride} + {max_tokens}], ' ') AS chunk_text
+FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k) k
+"""
+
+
+def tfidf_topk_sql(k: int = 5) -> str:
+    """DuckDB twin of operators.text.tfidf_topk (ratio-form score:
+    exact integer products + one IEEE division, so value-hash-stable)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) DESC,
+                    tf.term ASC
+         ) AS INTEGER) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rank <= {k}
+"""
+
+
+def pmi_skipgram_sql(
+    walks_per_vertex: int = 2,
+    walk_length: int = 6,
+    seed: str = "walk",
+    window: int = 2,
+) -> str:
+    """DuckDB twin of pmi_scores over the skip-gram pairs of the walk
+    corpus (operators.text.pmi_scores ∘ operators.walks.skipgram_pairs)."""
+    ctes, unions = _walk_ctes(walks_per_vertex, walk_length, seed)
+    return f"""WITH {EDGES_CS},
+{ctes},
+walks AS MATERIALIZED ({unions}),
+pairs AS MATERIALIZED (
+  SELECT a.vid AS center, b.vid AS context, COUNT(*) AS cnt
+  FROM walks a JOIN walks b
+    ON a.walk_id = b.walk_id AND a.step <> b.step
+   AND abs(a.step - b.step) <= {window}
+  GROUP BY 1, 2
+)
+SELECT center, context, cnt,
+       CAST(cnt * (SELECT SUM(cnt) FROM pairs) AS DOUBLE)
+       / (SUM(cnt) OVER (PARTITION BY center) * SUM(cnt) OVER (PARTITION BY context))
+       AS pmi_ratio
+FROM pairs
+"""

@@ -768,3 +768,131 @@ def test_node2vec_rejects_bad_params(spark):
         node2vec_walks(g, p=0.0)
     with pytest.raises(ValueError):
         node2vec_walks(g, q=-1.0)
+
+
+# ------------------------------------------- text pipeline: chunk/tfidf/pmi
+
+
+def _mini_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha alpha beta beta alpha"),
+        (3, "one"),
+        (4, "x " * 30 + "y"),  # 31 tokens -> multi-chunk at max_tokens=8
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_matches_python_oracle(spark):
+    from hugegraph_computer_spark.operators.text import chunk_documents
+
+    max_tokens, overlap = 8, 2
+    stride = max_tokens - overlap
+    got = sorted(
+        map(
+            tuple,
+            chunk_documents(
+                _mini_docs(spark), max_tokens=max_tokens, overlap=overlap
+            ).collect(),
+        )
+    )
+    want = []
+    for doc_id, text in [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha alpha beta beta alpha"),
+        (3, "one"),
+        (4, "x " * 30 + "y"),
+    ]:
+        toks = text.lower().split(" ")
+        toks = [t for t in toks]  # Spark split keeps empties; text has none here
+        n = len(toks)
+        n_chunks = 1 if n <= max_tokens else 1 + -(-(n - max_tokens) // stride)
+        for k in range(n_chunks):
+            piece = toks[k * stride : k * stride + max_tokens]
+            want.append((doc_id, k, len(piece), " ".join(piece)))
+    assert got == sorted(want)
+
+
+def test_chunk_documents_single_chunk_and_validation(spark):
+    from hugegraph_computer_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(docs, max_tokens=10, overlap=3).collect()
+    assert len(rows) == 1 and rows[0].chunk_id == 0 and rows[0].n_tokens == 3
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=5, overlap=5)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """The chunker must be a pure projection: no Exchange in the plan."""
+    from hugegraph_computer_spark.operators.text import chunk_documents
+
+    plan = chunk_documents(
+        _mini_docs(spark), max_tokens=8, overlap=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_topk_matches_python_oracle(spark):
+    from collections import Counter
+
+    from hugegraph_computer_spark.operators.text import tfidf_topk
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha alpha beta beta alpha",
+        3: "one",
+        4: ("x " * 30 + "y").strip() + " ",  # trailing space -> empty token dropped
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = sorted(map(tuple, tfidf_topk(docs, k=2).collect()))
+
+    tf = {
+        (d, w): c
+        for d, t in texts.items()
+        for w, c in Counter(x for x in t.lower().split(" ") if x).items()
+    }
+    df = Counter(w for (_, w) in tf)
+    n_docs = len(texts)
+    want = []
+    for d in texts:
+        scored = sorted(
+            (
+                (w, c, df[w], c * (n_docs + 1) / (df[w] + 1))
+                for (dd, w), c in tf.items()
+                if dd == d
+            ),
+            key=lambda r: (-r[3], r[0]),
+        )
+        for rank, (w, c, dfv, s) in enumerate(scored[:2], 1):
+            want.append((d, w, c, dfv, s, rank))
+    assert got == sorted(want)
+
+
+def test_pmi_scores_matches_python_oracle(spark):
+    from hugegraph_computer_spark.operators.text import pmi_scores
+
+    pairs = [
+        ("a", "b", 3),
+        ("a", "c", 1),
+        ("b", "a", 3),
+        ("b", "c", 2),
+        ("c", "a", 1),
+    ]
+    df = spark.createDataFrame(pairs, "center string, context string, cnt long")
+    got = {(r.center, r.context): (r.cnt, r.pmi_ratio) for r in pmi_scores(df).collect()}
+    total = sum(c for *_, c in pairs)
+    c_ctr = {}
+    c_ctx = {}
+    for a, b, c in pairs:
+        c_ctr[a] = c_ctr.get(a, 0) + c
+        c_ctx[b] = c_ctx.get(b, 0) + c
+    for a, b, c in pairs:
+        cnt, ratio = got[(a, b)]
+        assert cnt == c
+        assert ratio == (c * total) / (c_ctr[a] * c_ctx[b])
+    assert len(got) == len(pairs)
