@@ -437,6 +437,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.3)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-train-doc distinct 5-gram overlap
+    against a broadcast benchmark gram set (here every 20th doc plays
+    the benchmark; operators/dedup.py decontaminate)."""
+    from hugegraph_computer_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        shingle_n=5,
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
@@ -739,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
         # --- text analysis ---
         "token_stats": q_token_stats,
         "chunk_documents": q_chunk_documents,
@@ -815,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(threshold=0.3),
         "simhash_near_pairs": oracles.simhash_near_pairs_sql(max_hamming=3),
         "dedup_clusters": oracles.dedup_clusters_sql(threshold=0.3),
+        "decontaminate": oracles.decontaminate_sql(shingle_n=5, bench_mod=20),
         "token_stats": oracles.token_stats_sql(),
         "chunk_documents": oracles.chunk_documents_sql(max_tokens=20, overlap=4),
         "tfidf_topk": oracles.tfidf_topk_sql(k=5),

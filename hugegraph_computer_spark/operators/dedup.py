@@ -341,3 +341,57 @@ def simhash_near_pairs(
 
     release_local_checkpoint(bs)
     return pairs
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: ``(doc_id, n_grams long, hits long,
+    overlap_frac double)`` — for every training document, the fraction
+    of its distinct word n-grams that appear ANYWHERE in the benchmark
+    set (the standard eval-leakage check run before training; the
+    consumer thresholds overlap_frac to drop contaminated docs).
+
+    Scale shape: the benchmark side collapses to its DISTINCT n-gram
+    md5 set — a few MB even for large eval suites, broadcast by default
+    (`broadcast_benchmark=False` falls back to a shuffle hash join when
+    the "benchmark" is actually another corpus). The train side is one
+    explode → broadcast-probe → per-doc groupBy: ONE shuffle on doc_id
+    with map-side partial agg, no quadratic term anywhere. Joining on
+    md5(shingle) keeps the broadcast and shuffle rows fixed-width
+    instead of carrying long n-gram strings. overlap_frac is one IEEE
+    division of exact integers — engine-portable
+    (oracles.decontaminate_sql)."""
+    if shingle_n < 1:
+        raise ValueError("decontaminate: shingle_n >= 1")
+    bench_grams = (
+        benchmark.select(F.explode(shingles(text_col, shingle_n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    train_grams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("g"),
+    ).select("doc_id", F.md5("g").alias("gh"))
+    return (
+        train_grams.join(bench_grams, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "hits",
+            (F.col("hits").cast("double") / F.col("n_grams")).alias("overlap_frac"),
+        )
+    )

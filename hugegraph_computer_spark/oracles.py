@@ -1688,3 +1688,27 @@ SELECT center, context, cnt,
        AS pmi_ratio
 FROM pairs
 """
+
+
+def decontaminate_sql(shingle_n: int = 5, bench_mod: int = 20) -> str:
+    """DuckDB twin of operators.dedup.decontaminate over the gate split
+    (benchmark = doc_id % bench_mod == 0, train = the rest)."""
+    return f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS MATERIALIZED (SELECT doc_id, {_shingles_sql(shingle_n)} AS sh FROM toks),
+bgrams AS MATERIALIZED (
+  SELECT DISTINCT md5(g) AS gh
+  FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % {bench_mod} = 0)
+),
+tgrams AS (
+  SELECT doc_id, md5(g) AS gh
+  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % {bench_mod} <> 0)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN gh IN (SELECT gh FROM bgrams) THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(SUM(CASE WHEN gh IN (SELECT gh FROM bgrams) THEN 1 ELSE 0 END) AS DOUBLE)
+       / COUNT(*) AS overlap_frac
+FROM tgrams
+GROUP BY doc_id
+"""

@@ -896,3 +896,49 @@ def test_pmi_scores_matches_python_oracle(spark):
         assert cnt == c
         assert ratio == (c * total) / (c_ctr[a] * c_ctx[b])
     assert len(got) == len(pairs)
+
+
+def test_decontaminate_matches_python_oracle(spark):
+    from hugegraph_computer_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # grams: abc bcd cde def -> 2 hits
+            (2, "x y z w"),            # grams: xyz yzw -> 0 hits
+            (3, "a b c a b c"),        # distinct grams: abc bca cab -> 1 hit
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d"), (101, "c d e")],  # gram set: {abc, bcd, cde}
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.hits, r.overlap_frac)
+        for r in decontaminate(train, bench, shingle_n=3).collect()
+    }
+    assert got == {
+        1: (4, 3, 3 / 4),   # abc bcd cde hit; def not ("cde" from bench doc 101)
+        2: (2, 0, 0.0),
+        3: (3, 1, 1 / 3),
+    }
+
+
+def test_decontaminate_broadcast_plan_and_fallback(spark):
+    """Default plan broadcasts the benchmark gram set; the fallback for a
+    corpus-sized right side shuffles instead."""
+    from hugegraph_computer_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    p_b = (
+        decontaminate(train, bench, shingle_n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p_b
+    rows = decontaminate(
+        train, bench, shingle_n=3, broadcast_benchmark=False
+    ).collect()
+    assert rows[0].hits == 1 and rows[0].n_grams == 2
+    with pytest.raises(ValueError):
+        decontaminate(train, bench, shingle_n=0)
