@@ -483,6 +483,15 @@ def q_pmi_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-bigram fraction and
+    duplicated-5-gram occurrence fraction per document (operators/text.py
+    repetition_stats — positional grams, two gram-keyed aggregations)."""
+    from hugegraph_computer_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), ngram_n=2, dup_ngram_n=5)
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
@@ -759,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "tfidf_topk": q_tfidf_topk,
         "pmi_skipgram": q_pmi_skipgram,
+        "repetition_stats": q_repetition_stats,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -835,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracles.chunk_documents_sql(max_tokens=20, overlap=4),
         "tfidf_topk": oracles.tfidf_topk_sql(k=5),
         "pmi_skipgram": oracles.pmi_skipgram_sql(window=2, **WALK_PARAMS),
+        "repetition_stats": oracles.repetition_stats_sql(ngram_n=2, dup_ngram_n=5),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),
         "fingerprint": oracles.fingerprint_sql(),

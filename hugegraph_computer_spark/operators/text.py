@@ -285,3 +285,66 @@ def pmi_scores(
             / (F.sum(cnt_col).over(w_c) * F.sum(cnt_col).over(w_x))
         ).alias("pmi_ratio"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    ngram_n: int = 2,
+    dup_ngram_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_ngrams long, top_ngram_frac double, dup_ngram_frac
+    double)`` — the two classic repetition quality signals used to filter
+    degenerate (looping / boilerplate) documents before training:
+
+    * ``top_ngram_frac`` — occurrences of the document's single most
+      frequent word ``ngram_n``-gram over its total n-gram count (a doc
+      stuck in a loop scores near 1). The argmax n-gram breaks ties by
+      gram text ascending, but the FRACTION itself is tie-free.
+    * ``dup_ngram_frac`` — fraction of ``dup_ngram_n``-gram occurrences
+      whose gram appears ≥ 2 times in the document.
+
+    Scale shape: positional n-grams explode once per signal → ONE
+    (doc_id, gram) groupBy with map-side partial agg → ONE doc_id
+    groupBy; the two signal frames then join on doc_id (both already
+    hash-partitioned by the agg, so AQE keeps it local). No per-row
+    quadratic kernel — a 10 MB document costs O(tokens), not
+    O(tokens²). Fractions are exact-integer IEEE divisions
+    (oracles.repetition_stats_sql)."""
+    if ngram_n < 1 or dup_ngram_n < 1:
+        raise ValueError("repetition_stats: n-gram sizes must be >= 1")
+
+    def positional_grams(n: int) -> Column:
+        # POSITIONAL grams (NOT dedup.shingles, which array_distincts):
+        # repetition is precisely what distinct would erase
+        toks = _toks(text_col)
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(positional_grams(n)).alias("gram"),
+            )
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    top = gram_counts(ngram_n).groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    dup = gram_counts(dup_ngram_n).groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_dup_grams"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dup_occ"),
+    )
+    return top.join(dup, "doc_id").select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        (F.col("top_cnt").cast("double") / F.col("n_ngrams")).alias("top_ngram_frac"),
+        (F.col("dup_occ").cast("double") / F.col("n_dup_grams")).alias("dup_ngram_frac"),
+    )

@@ -1712,3 +1712,41 @@ SELECT doc_id,
 FROM tgrams
 GROUP BY doc_id
 """
+
+
+def repetition_stats_sql(ngram_n: int = 2, dup_ngram_n: int = 5) -> str:
+    """DuckDB twin of operators.text.repetition_stats (POSITIONAL grams —
+    no list_distinct — since repetition is what distinct would erase)."""
+
+    def grams(n: int) -> str:
+        return (
+            f"list_transform(range(1, GREATEST(len(t) - {n}, 0) + 2), "
+            f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))"
+        )
+
+    return f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+gc_top AS MATERIALIZED (
+  SELECT doc_id, g, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({grams(ngram_n)}) AS g FROM toks)
+  GROUP BY 1, 2
+),
+gc_dup AS MATERIALIZED (
+  SELECT doc_id, g, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({grams(dup_ngram_n)}) AS g FROM toks)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, SUM(cnt) AS n_ngrams, MAX(cnt) AS top_cnt FROM gc_top GROUP BY 1
+),
+dup AS (
+  SELECT doc_id, SUM(cnt) AS n_dup_grams,
+         SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_occ
+  FROM gc_dup GROUP BY 1
+)
+SELECT top.doc_id,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(top_cnt AS DOUBLE) / n_ngrams AS top_ngram_frac,
+       CAST(dup_occ AS DOUBLE) / n_dup_grams AS dup_ngram_frac
+FROM top JOIN dup ON top.doc_id = dup.doc_id
+"""

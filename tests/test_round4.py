@@ -942,3 +942,49 @@ def test_decontaminate_broadcast_plan_and_fallback(spark):
     assert rows[0].hits == 1 and rows[0].n_grams == 2
     with pytest.raises(ValueError):
         decontaminate(train, bench, shingle_n=0)
+
+
+def test_repetition_stats_matches_python_oracle(spark):
+    from collections import Counter
+
+    from hugegraph_computer_spark.operators.text import repetition_stats
+
+    texts = {
+        1: "a b a b a b a b",          # degenerate loop: top bigram dominates
+        2: "the quick brown fox jumps",  # all grams unique
+        3: "x y z x y z q r s t u v",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.top_ngram_frac, r.dup_ngram_frac)
+        for r in repetition_stats(docs, ngram_n=2, dup_ngram_n=3).collect()
+    }
+
+    def grams(toks, n):
+        if len(toks) <= n:
+            return [" ".join(toks[:n])]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    for d, t in texts.items():
+        toks = t.lower().split(" ")
+        c2, c3 = Counter(grams(toks, 2)), Counter(grams(toks, 3))
+        n2, n3 = sum(c2.values()), sum(c3.values())
+        want = (
+            n2,
+            max(c2.values()) / n2,
+            sum(v for v in c3.values() if v >= 2) / n3,
+        )
+        assert got[d] == want, (d, got[d], want)
+    # the loop doc must look maximally repetitive, the clean one minimally
+    assert got[1][1] > 0.5 and got[1][2] == 1.0
+    assert got[2][2] == 0.0
+
+
+def test_repetition_stats_rejects_bad_n(spark):
+    from hugegraph_computer_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repetition_stats(docs, ngram_n=0)
