@@ -159,6 +159,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("vid", F.round("rank", 9).alias("rank"))
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at every 50th vertex — random walk
+    with restart through the source set, mass-conserving dangling restart
+    (operators/pagerank.py personalized_pagerank; fixed supersteps so the
+    DuckDB oracle unrolls the exact recurrence)."""
+    from hugegraph_computer_spark.operators.pagerank import personalized_pagerank
+
+    g = _cs_graph(spark, sf_dir)
+    sources = g.degrees().where(F.col("vid") % 50 == 0).select("vid")
+    pr = personalized_pagerank(g, sources, supersteps=PAGERANK_SUPERSTEPS)
+    return pr.select("vid", F.round("rank", 9).alias("rank"))
+
+
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lpa(_cs_graph(spark, sf_dir), max_supersteps=LPA_SUPERSTEPS)
 
@@ -738,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "wcc": q_wcc,
         "pagerank": q_pagerank,
+        "ppr": q_ppr,
         "lpa": q_lpa,
         "triangle_count": q_triangle,
         "clustering_coefficient": q_clustering,
@@ -804,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": oracles.graph_stats_sql(),
         "wcc": oracles.wcc_sql(),
         "pagerank": oracles.pagerank_sql(supersteps=PAGERANK_SUPERSTEPS),
+        "ppr": oracles.ppr_sql(supersteps=PAGERANK_SUPERSTEPS, src_mod=50),
         "lpa": oracles.lpa_sql(supersteps=LPA_SUPERSTEPS),
         "triangle_count": oracles.triangle_sql(),
         "clustering_coefficient": oracles.clustering_sql(),

@@ -212,3 +212,130 @@ def pagerank(
             {"superstep": r.superstep, **r.metrics} for r in loop.history
         ]
     return state.select("vid", "rank")
+
+
+def personalized_pagerank(
+    graph: Graph,
+    sources,
+    alpha: float = ALPHA_DEFAULT,
+    supersteps: int = 6,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    job_name: str = "ppr",
+    resume: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: ``(vid long, rank double)`` — random walk
+    with restart to a SOURCE SET (the retrieval/graph-sampling primitive;
+    not in the reference, whose PageRank teleports uniformly —
+    PageRank.java:36-38 — this is the "beyond the reference" variant a
+    training pipeline uses to harvest a seed set's neighborhood).
+
+    Standard semantics, mass-conserving: with e_S(v) = 1/|S| on sources,
+
+        r_0 = e_S
+        r_{s+1}(v) = (Σ_{u→v} r_s(u)/deg(u) + dangling_s·e_S(v))·(1-α)
+                     + α·e_S(v)
+
+    i.e. dangling mass restarts through the personalization vector, so
+    Σr ≡ 1 every superstep (no renormalization needed — unlike the
+    reference recurrence above). Fixed ``supersteps`` keeps the run
+    oracle-unrollable (oracles.ppr_sql).
+
+    Scale shape = pagerank's: one scatter (adj ⋈ contrib, explode,
+    map-side partial agg) + one left join per superstep, the dangling
+    aggregate rides the single materialization via ``observe``, lineage
+    broken per superstep through SuperstepLoop (checkpoint_dir/resume).
+    ``sources`` may be a Python iterable of vids or a DataFrame with a
+    ``vid`` column; the flag join runs ONCE at init (broadcast — a seed
+    set is small next to the graph)."""
+    spark = graph.edges.sparkSession
+    if isinstance(sources, DataFrame):
+        src_df = sources.select("vid").distinct()
+    else:
+        vids = sorted(set(sources))
+        if not vids:
+            raise ValueError("personalized_pagerank: empty source set")
+        src_df = spark.createDataFrame([(int(v),) for v in vids], "vid long")
+    n_src = src_df.count()
+    if n_src == 0:
+        raise ValueError("personalized_pagerank: empty source set")
+    if supersteps < 1:
+        raise ValueError("personalized_pagerank: supersteps >= 1")
+
+    loop = SuperstepLoop(
+        spark, job_name, checkpoint_dir, supersteps, checkpoint_every,
+        resume=resume,
+    )
+    adj = graph.adjacency()
+    sflag_val = 1.0 / n_src
+
+    start_superstep = 1
+    state = None
+    aggs = None
+    if resume:
+        resumed = loop.resume()
+        if resumed is not None:
+            s, state, aggs = resumed
+            if not aggs.get("continue", True):
+                return state.select("vid", "rank")
+            start_superstep = s + 1
+
+    if state is None:
+        state = (
+            graph.degrees()
+            .join(F.broadcast(src_df.withColumn("_s", F.lit(True))), "vid", "left")
+            .select(
+                "vid",
+                "deg",
+                F.when(F.col("_s"), F.lit(sflag_val)).otherwise(0.0).alias("sflag"),
+            )
+            .withColumn("rank", F.col("sflag"))
+        )
+        row = state.agg(
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
+                "dang"
+            )
+        ).collect()[0]
+        aggs = {"dangling": float(row["dang"]), "continue": True}
+        state = loop.save(0, state, aggs, {"supersteps": 0})
+
+    for s in range(start_superstep, supersteps):
+        dangling_prev = aggs["dangling"]
+        contrib = state.where(F.col("deg") > 0).select(
+            "vid", (F.col("rank") / F.col("deg")).alias("contrib")
+        )
+        msgs = (
+            adj.join(contrib, "vid")
+            .select(F.explode("nbrs").alias("dst"), "contrib")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("msg_sum"))
+        )
+        new_state = state.join(msgs, state["vid"] == msgs["dst"], "left").select(
+            state["vid"],
+            state["deg"],
+            state["sflag"],
+            (
+                (
+                    F.coalesce(msgs["msg_sum"], F.lit(0.0))
+                    + F.lit(dangling_prev) * state["sflag"]
+                )
+                * F.lit(1.0 - alpha)
+                + F.lit(alpha) * state["sflag"]
+            ).alias("rank"),
+        )
+        obs = Observation(f"{job_name}_s{s}")
+        observed = new_state.observe(
+            obs,
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
+                "dang"
+            ),
+        )
+        state = loop.materialize(s, observed)
+        aggs = {
+            "dangling": float(obs.get["dang"]),
+            "continue": s != supersteps - 1,
+        }
+        loop.commit(s, aggs, {"supersteps": s})
+
+    loop.cleanup()
+    return state.select("vid", "rank")

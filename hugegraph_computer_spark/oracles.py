@@ -1750,3 +1750,51 @@ SELECT top.doc_id,
        CAST(dup_occ AS DOUBLE) / n_dup_grams AS dup_ngram_frac
 FROM top JOIN dup ON top.doc_id = dup.doc_id
 """
+
+
+def ppr_sql(
+    supersteps: int = 6,
+    alpha: float = 0.15,
+    src_mod: int = 50,
+    round_to: int = 9,
+    edges_cte: str = EDGES_CS,
+) -> str:
+    """Unrolled personalized PageRank (operators.pagerank.
+    personalized_pagerank): r0 = e_S; each superstep
+    ``(Σ msgs + dangling_prev·sflag)·(1-alpha) + alpha·sflag`` — the
+    mass-conserving restart-through-source-set recurrence. Gate source
+    set: vertices with vid % src_mod == 0."""
+    parts = [
+        f"WITH {edges_cte}",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e)",
+        "dg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        "d AS MATERIALIZED (SELECT v.vid, COALESCE(dg.deg, 0) AS deg "
+        "FROM v LEFT JOIN dg ON v.vid = dg.vid)",
+        f"s AS MATERIALIZED (SELECT vid FROM d WHERE vid % {src_mod} = 0)",
+        "ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s)",
+        "r0 AS MATERIALIZED (SELECT d.vid, d.deg, "
+        "CASE WHEN s.vid IS NOT NULL THEN (SELECT 1.0/n FROM ns) ELSE 0.0 END AS sflag, "
+        "CASE WHEN s.vid IS NOT NULL THEN (SELECT 1.0/n FROM ns) ELSE 0.0 END AS rank "
+        "FROM d LEFT JOIN s ON d.vid = s.vid)",
+        "a0 AS MATERIALIZED (SELECT COALESCE(SUM(CASE WHEN deg = 0 THEN rank END), 0.0) AS dang FROM r0)",
+    ]
+    for c in range(1, supersteps):
+        p = c - 1
+        parts.append(
+            f"m{c} AS MATERIALIZED (SELECT e.dst AS vid, SUM(r.rank / r.deg) AS msg "
+            f"FROM r{p} r JOIN e ON r.vid = e.src WHERE r.deg > 0 GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{c} AS MATERIALIZED (SELECT r.vid, r.deg, r.sflag, "
+            f"(COALESCE(m.msg, 0.0) + (SELECT dang FROM a{p}) * r.sflag) * {1.0 - alpha!r} "
+            f"+ {alpha!r} * r.sflag AS rank "
+            f"FROM r{p} r LEFT JOIN m{c} m ON r.vid = m.vid)"
+        )
+        parts.append(
+            f"a{c} AS MATERIALIZED (SELECT COALESCE(SUM(CASE WHEN deg = 0 THEN rank END), 0.0) AS dang FROM r{c})"
+        )
+    last = supersteps - 1
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vid, ROUND(rank, {round_to}) AS rank FROM r{last}"
+    )

@@ -988,3 +988,83 @@ def test_repetition_stats_rejects_bad_n(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         repetition_stats(docs, ngram_n=0)
+
+
+# ------------------------------------------------- personalized pagerank
+
+
+def _ppr_python(edges, sources, alpha=0.15, supersteps=6):
+    """Literal replay of the mass-conserving PPR recurrence."""
+    verts = sorted({v for e in edges for v in e})
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    out = {v: [] for v in verts}
+    for a, b in sym:
+        out[a].append(b)
+    s_set = set(sources)
+    sflag = {v: (1.0 / len(s_set) if v in s_set else 0.0) for v in verts}
+    rank = dict(sflag)
+    for _ in range(1, supersteps):
+        dang = sum(rank[v] for v in verts if not out[v])
+        msgs = {v: 0.0 for v in verts}
+        for u in verts:
+            if out[u]:
+                c = rank[u] / len(out[u])
+                for w in out[u]:
+                    msgs[w] += c
+        rank = {
+            v: (msgs[v] + dang * sflag[v]) * (1 - alpha) + alpha * sflag[v]
+            for v in verts
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_python_oracle(spark):
+    from hugegraph_computer_spark.operators.pagerank import personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (4, 0)]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    got = {
+        r.vid: r.rank
+        for r in personalized_pagerank(g, [0, 2], supersteps=6).collect()
+    }
+    want = _ppr_python(edges, [0, 2])
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # mass conservation: the restart-through-sources recurrence keeps Σr = 1
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_personalized_pagerank_concentrates_on_sources(spark):
+    from hugegraph_computer_spark.operators.pagerank import personalized_pagerank
+
+    g = _chain_graph(spark, n=9)
+    got = {r.vid: r.rank for r in personalized_pagerank(g, [0], supersteps=8).collect()}
+    # rank decays with distance from the seed
+    assert got[0] > got[2] > got[5] > got[8]
+    with pytest.raises(ValueError):
+        personalized_pagerank(g, [])
+    with pytest.raises(ValueError):
+        personalized_pagerank(g, [0], supersteps=0)
+
+
+def test_personalized_pagerank_resume_bit_identical(spark, tmp_path):
+    from hugegraph_computer_spark.operators.pagerank import personalized_pagerank
+
+    g = _chain_graph(spark, n=10)
+    ck = str(tmp_path / "ppr")
+    full = sorted(
+        map(tuple, personalized_pagerank(g, [0, 5], supersteps=7, checkpoint_dir=ck).collect())
+    )
+    _drop_last_step(ck, "ppr", n=2)
+    resumed = sorted(
+        map(
+            tuple,
+            personalized_pagerank(
+                g, [0, 5], supersteps=7, checkpoint_dir=ck, resume=True
+            ).collect(),
+        )
+    )
+    assert resumed == full
