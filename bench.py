@@ -50,6 +50,7 @@ from hugegraph_computer_spark.operators import (  # noqa: E402
     wcc,
 )
 from hugegraph_computer_spark.operators.dedup import (  # noqa: E402
+    decontaminate,
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
@@ -186,6 +187,18 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     timed(
         "curation_filter",
         lambda: consume(curation_filter(docs, min_quality=0.5, langs=("en", "de"))),
+    )
+    # eval-leakage check: distinct benchmark gram set broadcast, one
+    # explode + probe + doc_id shuffle on the train side
+    timed(
+        "decontaminate",
+        lambda: consume(
+            decontaminate(
+                docs.where(F.col("doc_id") % 20 != 0),
+                docs.where(F.col("doc_id") % 20 == 0),
+                shingle_n=5,
+            )
+        ),
     )
     timed(
         "cosine_topk",
