@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--algorithm", required=True,
                    help="page_rank | wcc | lpa | triangle_count | "
                         "clustering_coefficient | degree_centrality | "
-                        "closeness_centrality | betweenness_centrality | rings")
+                        "closeness_centrality | betweenness_centrality | rings | "
+                        "ppr | coreness | random_walks | node2vec | "
+                        "neighborhood_sample | links")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet with (src,dst[,weight])")
     src.add_argument("--corpus", help="parquet with (repo,path,commit,lang,content)")
@@ -48,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-col", default=None)
     p.add_argument("--sources", type=int, default=None,
                    help="sampled source count (closeness/betweenness)")
+    p.add_argument("--seed-vertices", default=None,
+                   help="ppr: comma-separated vertex ids to personalize to")
     # Links/Rings condition DSL (SQL boolean exprs over vid / edge columns —
     # the engine's equivalent of the reference's JSON property-filter DSL,
     # links/filter/LinksSpreadFilter.java, rings/filter/*).
@@ -77,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.algorithm == "links" and args.start_cond is None:
         print("links requires --start-cond (and optionally --spread-cond/"
               "--end-vertex-cond/--end-edge-cond)", file=sys.stderr)
+        return 2
+    if args.algorithm == "ppr" and args.seed_vertices is None:
+        print("ppr requires --seed-vertices (comma-separated ids)",
+              file=sys.stderr)
         return 2
 
     spark = get_spark(master=args.master, app_name=f"hgc-{args.algorithm}")
@@ -108,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
                   checkpoint_dir=args.checkpoint_dir, resume=args.resume)
     elif args.algorithm == "betweenness_centrality":
         kw = dict(sources=args.sources)
+    elif args.algorithm == "ppr":
+        kw = dict(
+            sources=[int(v) for v in args.seed_vertices.split(",")],
+            alpha=args.alpha,
+            supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
     elif args.algorithm == "links":
         kw = dict(start_cond=args.start_cond,
                   max_supersteps=args.max_supersteps)

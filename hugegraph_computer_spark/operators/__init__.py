@@ -5,7 +5,10 @@ Graph algorithms reproduce the reference's per-vertex results
 multimodal) are the training-data extensions required at 100 TB scale.
 """
 
-from hugegraph_computer_spark.operators.pagerank import pagerank
+from hugegraph_computer_spark.operators.pagerank import (
+    pagerank,
+    personalized_pagerank,
+)
 from hugegraph_computer_spark.operators.wcc import wcc
 from hugegraph_computer_spark.operators.lpa import lpa
 from hugegraph_computer_spark.operators.triangle import triangle_count
@@ -40,10 +43,14 @@ ALGORITHMS = {
     "betweenness_centrality": betweenness_centrality,
     "coreness": coreness,
     "random_walks": random_walks,
+    "node2vec": node2vec_walks,
+    "ppr": personalized_pagerank,
+    "neighborhood_sample": neighborhood_sample,
 }
 
 __all__ = [
     "pagerank",
+    "personalized_pagerank",
     "wcc",
     "lpa",
     "triangle_count",
