@@ -34,7 +34,7 @@ prefix (SuperstepLoop.resume_steps) and continues from the deepest step.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation, Window, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from hugegraph_computer_spark.graph.bsp import (
     SuperstepLoop,
@@ -219,19 +219,22 @@ def node2vec_walks(
     ``x == prev`` (return), 1 if ``x`` is also a neighbor of ``prev``
     (BFS-ish), else 1/q (DFS-ish). Step 1 is uniform (no predecessor).
 
-    The draw: ``u = md5_60bit(seed:walk:step:vid) mod total_weight``;
-    the chosen neighbor is the first whose integer cumulative weight
-    exceeds ``u``. Unlike :func:`random_walks` (O(1) indexed choice on
-    neighbor arrays), the biased step is candidate-exploded: frontier ⋈
-    cached flat edges emits one row per (walk, candidate), the d=1 test
-    is a pair equi-join of (prev, candidate) against the SAME cached
-    flat-edge frame (hash join, O(1) per candidate — NOT an
-    array_contains scan of the predecessor's neighbor list, which is
-    O(deg_v·deg_prev) per step and quadratic on hub-hub transitions),
-    and the cumulative choice is a window sum per walk. Per superstep:
-    O(frontier·avg_deg) rows through two hash joins and one walk-keyed
-    window — the same O(E·wpv) scatter volume per superstep as PageRank,
-    no quadratic term at any degree distribution.
+    The draw exploits that node2vec has only THREE weight classes, so a
+    cumulative scan over candidates is never needed: partition ``v``'s
+    sorted neighbor array into ``{prev}`` / ``common`` (also neighbors
+    of ``prev``, via ``array_intersect``) / ``rest`` (``array_except``),
+    lay their integer weight mass end-to-end in that order, and the
+    uniform draw ``u = md5_60bit(seed:walk:step:vid) mod total`` lands
+    in exactly one class — within which every candidate has EQUAL weight,
+    so the pick is an integer division + ``element_at``: O(1) per walk,
+    identical distribution to the textbook cumulative form. Per
+    superstep the frontier (V·wpv rows) hash-joins the cached
+    neighbor-array frame twice (on ``vid`` and on ``prev``); the
+    intersect/except are linear JVM kernels in deg(v)+deg(prev) and NO
+    candidate-exploded rows, window functions, or extra exchanges exist
+    — per-step shuffle volume is the frontier itself, same as
+    :func:`random_walks`, vs the E·wpv-row windowed exchange of the
+    earlier variant (sub-linear at 10×, BENCH_r04 tp 0.89).
 
     Simple-graph semantics like random_walks: Graph.from_edges(dedup)
     already collapses parallel edges, so each distinct neighbor is one
@@ -250,15 +253,24 @@ def node2vec_walks(
         spark, job_name, checkpoint_dir, walk_length + 1, resume=resume
     )
 
-    # one cached src-partitioned flat frame serves BOTH roles: the
-    # candidate generator (joined on current vid) and the d=1 membership
-    # set (pair-joined on (prev, candidate))
-    flat = graph.flat_edges(build_hash=True)
-    mem = graph.flat_edges().select(
-        F.col("src").alias("mprev"),
-        F.col("dst").alias("mcand"),
-        F.lit(True).alias("d1"),
+    # one cached neighbor-array frame serves BOTH roles: the candidate
+    # source for the current vertex (joined on vid) and the d=1
+    # membership set for the predecessor (joined on prev); groupBy
+    # leaves it hash-partitioned by vertex, so each superstep shuffles
+    # only the walk frontier against it — never exploded candidates
+    adj = (
+        graph.edges.select("src", "dst")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .select(
+            F.col("src").alias("avid"),
+            "nbrs",
+            F.size("nbrs").cast("long").alias("deg"),
+        )
+        .persist()
     )
+    adj.count()
+    padj = adj.select(F.col("avid").alias("pvid"), F.col("nbrs").alias("pnbrs"))
 
     frames: list[tuple[int, DataFrame]] = []
     locals_: list[DataFrame] = []
@@ -301,49 +313,87 @@ def node2vec_walks(
         start_t = 1
 
     for t in range(start_t, walk_length + 1):
-        cand = state.join(flat, state["vid"] == flat["src"]).select(
-            "walk_id", "start", "prev", "vid", F.col("dst").alias("cand")
-        )
         if t == 1:
-            # no predecessor: uniform choice (all weights 1 makes the
-            # windowed pick identical to nbrs_sorted[h % deg])
-            wgt = F.lit(1).cast("long")
+            # no predecessor: uniform O(1) indexed choice, exactly
+            # random_walks' step (withColumn BEFORE the vid re-alias —
+            # see random_walks for the name-binding hazard)
+            idx = (_choice_hash(seed, 0) % F.col("deg") + 1).cast("int")
+            nxt = (
+                state.join(adj, state["vid"] == adj["avid"])
+                .withColumn("_next", F.element_at("nbrs", idx))
+                .select(
+                    "walk_id",
+                    "start",
+                    F.col("vid").alias("prev"),
+                    F.col("_next").alias("vid"),
+                )
+            )
         else:
-            cand = cand.join(
-                mem,
-                (F.col("prev") == F.col("mprev"))
-                & (F.col("cand") == F.col("mcand")),
-                "left",
+            # class-partitioned pick: lay weight mass as
+            # [prev | common (sorted) | rest (sorted)]; the class the
+            # draw lands in is a pair of comparisons, the pick inside
+            # it an integer division (equal weights within a class).
+            # `div` (not `/`): BIGINT division must stay exact — the
+            # double round-trip loses bits past 2^53
+            st = (
+                state.join(adj, state["vid"] == adj["avid"])
+                .join(padj, state["prev"] == padj["pvid"], "left")
+                .select(
+                    "walk_id",
+                    "start",
+                    "prev",
+                    "vid",
+                    "nbrs",
+                    F.coalesce(
+                        "pnbrs", F.array().cast("array<long>")
+                    ).alias("pnbrs"),
+                )
+                .withColumn("base", F.array_remove("nbrs", F.col("prev")))
+                .withColumn(
+                    "common", F.array_sort(F.array_intersect("base", "pnbrs"))
+                )
+                .withColumn(
+                    "rest", F.array_sort(F.array_except("base", "pnbrs"))
+                )
+                .withColumn(
+                    "c_ret",
+                    F.lit(w_ret)
+                    * (F.size("nbrs") - F.size("base")).cast("long"),
+                )
+                .withColumn(
+                    "c_in",
+                    F.col("c_ret")
+                    + F.lit(w_in) * F.size("common").cast("long"),
+                )
+                .withColumn(
+                    "tot",
+                    F.col("c_in") + F.lit(w_out) * F.size("rest").cast("long"),
+                )
+                .withColumn("u", _choice_hash(seed, t - 1) % F.col("tot"))
+                .withColumn(
+                    "_next",
+                    F.when(F.col("u") < F.col("c_ret"), F.col("prev"))
+                    .when(
+                        F.col("u") < F.col("c_in"),
+                        F.element_at(
+                            "common",
+                            F.expr(f"(u - c_ret) div {w_in}").cast("int") + 1,
+                        ),
+                    )
+                    .otherwise(
+                        F.element_at(
+                            "rest",
+                            F.expr(f"(u - c_in) div {w_out}").cast("int") + 1,
+                        )
+                    ),
+                )
             )
-            wgt = (
-                F.when(F.col("cand") == F.col("prev"), F.lit(w_ret))
-                .when(F.col("d1"), F.lit(w_in))
-                .otherwise(F.lit(w_out))
-                .cast("long")
+            nxt = st.select(
+                "walk_id",
+                "start",
+                F.col("vid").alias("prev"),
+                F.col("_next").alias("vid"),
             )
-        win_cum = Window.partitionBy("walk_id").orderBy("cand")
-        win_tot = Window.partitionBy("walk_id")
-        # the draw + rename happen on NAMED columns computed via
-        # withColumn first — embedding expressions that reference
-        # prev/vid directly into a select that also re-aliases them
-        # makes Spark bind the refs to the renamed siblings (silently
-        # wrong values; see the aggregate-fold variant this replaced)
-        picked = (
-            cand.withColumn("wgt", wgt)
-            .withColumn("cum", F.sum("wgt").over(win_cum))
-            .withColumn("tot", F.sum("wgt").over(win_tot))
-            .withColumn("u", _choice_hash(seed, t - 1) % F.col("tot"))
-            .where(
-                (F.col("cum") - F.col("wgt") <= F.col("u"))
-                & (F.col("u") < F.col("cum"))
-            )
-        )
-        nxt = picked.select(
-            "walk_id",
-            "start",
-            F.col("vid").alias("prev"),
-            F.col("cand").alias("vid"),
-        )
         obs = Observation(f"{job_name}_s{t}")
         state = keep(t, nxt.observe(obs, F.count(F.lit(1)).alias("n")))
         if int(obs.get["n"] or 0) == 0:

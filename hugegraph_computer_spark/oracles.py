@@ -1545,10 +1545,13 @@ def node2vec_walks_sql(
 ) -> str:
     """DuckDB twin of operators.walks.node2vec_walks over the
     customer-supplier graph: step 1 is the uniform indexed choice; each
-    later step unnests the current vertex's neighbor list, weights every
-    candidate with the SAME integer-scaled 1/p,1,1/q bias (d=1 membership
-    via LEFT JOIN prev->cand against e), and keeps the candidate whose
-    integer cumulative weight interval contains h % total."""
+    later step partitions the current vertex's sorted neighbor list into
+    {prev} / common (also neighbors of prev) / rest, lays the
+    integer-scaled 1/p,1,1/q weight mass end-to-end in that order, and
+    resolves u = h % total to a class by two comparisons and to a member
+    by integer division — the same O(1) class-partitioned draw the Spark
+    operator makes (distribution-identical to the textbook cumulative
+    scan; weights within a class are equal)."""
     from hugegraph_computer_spark.operators.walks import _bias_weights
 
     w_ret, w_in, w_out = _bias_weights(p, q)
@@ -1579,30 +1582,36 @@ w0 AS MATERIALIZED (
         )
     for t in range(2, walk_length + 1):
         h = (
-            f"('0x' || substr(md5('{seed}:' || c.walk_id || ':' || {t - 1} "
-            f"|| ':' || c.cur), 1, 15))::BIGINT"
+            f"('0x' || substr(md5('{seed}:' || w.walk_id || ':' || {t - 1} "
+            f"|| ':' || w.vid), 1, 15))::BIGINT"
         )
         ctes.append(
             f"""w{t} AS MATERIALIZED (
-  SELECT walk_id, start, cur AS prev, cand AS vid
+  SELECT walk_id, start, cur AS prev,
+         CASE WHEN u < c_ret THEN prevv
+              WHEN u < c_in THEN common[CAST((u - c_ret) // {w_in} AS INT) + 1]
+              ELSE rest[CAST((u - c_in) // {w_out} AS INT) + 1] END AS vid
   FROM (
-    SELECT q.*,
-           SUM(wgt) OVER (PARTITION BY walk_id ORDER BY cand) AS cum,
-           SUM(wgt) OVER (PARTITION BY walk_id) AS tot
+    SELECT q.*, h % (c_in + {w_out} * len(rest)) AS u,
+           {w_ret} * hasret AS c_ret
     FROM (
-      SELECT c.walk_id, c.start, c.cur, c.cand,
-             CASE WHEN c.cand = c.prev THEN {w_ret}
-                  WHEN pe.src IS NOT NULL THEN {w_in}
-                  ELSE {w_out} END AS wgt,
-             {h} AS h
+      SELECT c.*, {w_ret} * hasret + {w_in} * len(common) AS c_in
       FROM (
-        SELECT w.walk_id, w.start, w.prev, w.vid AS cur,
-               unnest(a.nbrs) AS cand
-        FROM w{t - 1} w JOIN adj a ON a.vid = w.vid
+        SELECT w.walk_id, w.start, w.prev AS prevv, w.vid AS cur,
+               CASE WHEN list_contains(a.nbrs, w.prev) THEN 1 ELSE 0 END AS hasret,
+               list_sort(list_intersect(
+                 list_filter(a.nbrs, x -> x <> w.prev),
+                 COALESCE(p.nbrs, CAST([] AS BIGINT[])))) AS common,
+               list_sort(list_filter(a.nbrs,
+                 x -> x <> w.prev AND NOT list_contains(
+                   COALESCE(p.nbrs, CAST([] AS BIGINT[])), x))) AS rest,
+               {h} AS h
+        FROM w{t - 1} w
+        JOIN adj a ON a.vid = w.vid
+        LEFT JOIN adj p ON p.vid = w.prev
       ) c
-      LEFT JOIN e pe ON pe.src = c.prev AND pe.dst = c.cand
     ) q
-  ) WHERE cum - wgt <= (h % tot) AND (h % tot) < cum
+  )
 )"""
         )
     unions = "\nUNION ALL ".join(

@@ -5,26 +5,49 @@ extension for continuously-arriving link data: new edge files land in a
 directory (in production: an Iceberg/Kafka feed), each micro-batch folds
 them into the persisted component labeling without recomputing the world.
 
+The labels table is Hive-partitioned by a stable vid hash bucket
+(``bucket = pmod(xxhash64(vid), n_buckets)``), and every micro-batch
+rewrites ONLY the buckets it actually changes, via Spark's dynamic
+partition overwrite — untouched bucket directories are never rewritten
+(their files stay byte-identical across batches).
+
 Incremental WCC fold per micro-batch (foreachBatch):
 
-  1. map both endpoints of each new edge through the current ``labels``
-     table (new vertices label themselves),
-  2. merged groups: union-find style collapse of the (label_a, label_b)
-     pairs — iterated min-join until fixpoint (few rounds: the pair graph
-     is tiny relative to the base graph),
-  3. rewrite ``labels`` rows whose label changed; checkpoint.
+  1. resolve both endpoints of each new edge through the current labels,
+     reading ONLY the endpoint buckets (partition pruning on the bucket
+     key; new vertices label themselves),
+  2. merged groups: the (label_a, label_b) pairs are WCC'd with the
+     engine's own min-label fixpoint — the pair graph is tiny relative to
+     the base graph,
+  3. affected buckets = buckets holding a vid whose component is in the
+     (tiny, broadcast) changed-label mapping — a read-only semi-join scan
+     — plus the buckets gaining new vertices; rewrite exactly those via
+     ``partitionOverwriteMode=dynamic``; checkpoint.
 
-This touches only Δ-edges + affected labels per batch — the property that
-matters when the base graph is 10^12 edges and a batch is a few million.
+Per batch the write cost is O(rows in affected buckets), not O(V); the
+only O(V) term is the read-only broadcast semi-join that locates affected
+buckets (and parquet row-group stats prune most of that read). That is
+the property that matters when the base graph is 10^12 edges and a batch
+is a few million.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 EDGE_DDL = "src long, dst long"
+
+#: default bucket count for the labels table; production would size this
+#: so one bucket ≈ one comfortable write task (e.g. 4096 at 10^12 V)
+N_BUCKETS = 16
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    """Stable vid→bucket hash: xxhash64 is seed-fixed and versioned in
+    Spark, so the same vid lands in the same bucket across batches/runs."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
 def stream_edges(spark: SparkSession, path: str) -> DataFrame:
@@ -49,45 +72,108 @@ def _collapse_labels(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
 
 
 def incremental_wcc_batch(
-    batch: DataFrame, labels_path: str, spark: SparkSession
+    batch: DataFrame,
+    labels_path: str,
+    spark: SparkSession,
+    n_buckets: int = N_BUCKETS,
 ) -> None:
-    """Fold one micro-batch of edges into the labels table at labels_path."""
-    if os.path.exists(labels_path):
-        labels = spark.read.parquet(labels_path)
-    else:
-        labels = spark.createDataFrame([], "vid long, component long")
-    verts = (
+    """Fold one micro-batch of edges into the bucket-partitioned labels
+    table at ``labels_path``, rewriting only affected buckets."""
+    exists = os.path.exists(labels_path)
+
+    # Δ-vertices of this batch, with their buckets (small; pinned so the
+    # plans below don't recompute the batch source)
+    bverts = (
         batch.select(F.col("src").alias("vid"))
         .unionByName(batch.select(F.col("dst").alias("vid")))
         .dropDuplicates(["vid"])
+        .withColumn("bucket", _bucket(F.col("vid"), n_buckets))
+        .localCheckpoint(eager=True)
     )
-    all_labels = (
-        labels.unionByName(
-            verts.join(labels, "vid", "left_anti").select(
-                "vid", F.col("vid").alias("component")
-            )
-        )
-    ).localCheckpoint(eager=True)
-    la = all_labels.select(F.col("vid").alias("src"), F.col("component").alias("a"))
-    lb = all_labels.select(F.col("vid").alias("dst"), F.col("component").alias("b"))
-    pairs = (
-        batch.join(la, "src").join(lb, "dst").select("a", "b").where(F.col("a") != F.col("b"))
-    ).dropDuplicates(["a", "b"])
-    if pairs.isEmpty():
-        merged = all_labels
+
+    if not exists:
+        # first batch: the whole table IS the delta
+        out = bverts.select("vid", F.col("vid").alias("component"), "bucket")
+        pairs_src = out
     else:
-        mapping = _collapse_labels(pairs)
-        merged = (
-            all_labels.join(mapping, all_labels["component"] == mapping["label"], "left")
-            .select(
-                "vid",
-                F.coalesce(mapping["root"], all_labels["component"]).alias("component"),
-            )
+        labels = spark.read.parquet(labels_path)
+        touched = [r["bucket"] for r in bverts.select("bucket").distinct().collect()]
+        # endpoint-label lookup reads ONLY the endpoint buckets
+        lab_touch = labels.where(F.col("bucket").isin(touched))
+        new_verts = (
+            bverts.join(lab_touch.select("vid"), "vid", "left_anti")
+            .select("vid", F.col("vid").alias("component"), "bucket")
         )
-    tmp = labels_path + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(labels_path)
+        pairs_src = lab_touch.unionByName(new_verts)
+
+    la = pairs_src.select(F.col("vid").alias("src"), F.col("component").alias("a"))
+    lb = pairs_src.select(F.col("vid").alias("dst"), F.col("component").alias("b"))
+    pairs = (
+        batch.join(la, "src")
+        .join(lb, "dst")
+        .select("a", "b")
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+    if not exists:
+        if not pairs.isEmpty():
+            mapping = _collapse_labels(pairs)
+            out = out.join(
+                F.broadcast(mapping), out["component"] == mapping["label"], "left"
+            ).select(
+                "vid",
+                F.coalesce(mapping["root"], out["component"]).alias("component"),
+                "bucket",
+            )
+        out.write.mode("overwrite").partitionBy("bucket").parquet(labels_path)
+        return
+
+    if pairs.isEmpty():
+        changed = None
+        affected = {r["bucket"] for r in new_verts.select("bucket").distinct().collect()}
+        if not affected:
+            return  # batch introduced nothing new: zero buckets rewritten
+    else:
+        mapping = _collapse_labels(pairs).localCheckpoint(eager=True)
+        changed = mapping.where(F.col("root") != F.col("label"))
+        # read-only broadcast semi-join: which buckets hold a vid whose
+        # component label is being merged away?
+        aff_a = (
+            labels.join(
+                F.broadcast(changed.select(F.col("label").alias("component"))),
+                "component",
+                "leftsemi",
+            )
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        aff_b = new_verts.select("bucket").distinct().collect()
+        affected = {r["bucket"] for r in aff_a} | {r["bucket"] for r in aff_b}
+        if not affected:
+            return
+
+    aff_list = sorted(affected)
+    content = labels.where(F.col("bucket").isin(aff_list)).select(
+        "vid", "component", "bucket"
+    ).unionByName(new_verts)
+    if changed is not None:
+        content = content.join(
+            F.broadcast(changed), content["component"] == changed["label"], "left"
+        ).select(
+            "vid",
+            F.coalesce(changed["root"], content["component"]).alias("component"),
+            "bucket",
+        )
+    # materialize BEFORE overwriting the buckets the plan reads from
+    content = content.localCheckpoint(eager=True)
+    (
+        content.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(labels_path)
+    )
 
 
 def run_incremental_wcc(

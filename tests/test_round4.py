@@ -689,19 +689,20 @@ def _py_node2vec(edges_df, wpv, length, p, q, seed="n2v"):
                 if prev is None:
                     nxt = nbrs[h % len(nbrs)]
                 else:
-                    ws = [
-                        w_ret
-                        if x == prev
-                        else (w_in if x in adj.get(prev, ()) else w_out)
-                        for x in nbrs
-                    ]
-                    u = h % sum(ws)
-                    s, nxt = 0, None
-                    for x, w in zip(nbrs, ws):
-                        s += w
-                        if s > u:
-                            nxt = x
-                            break
+                    # class-partitioned draw: [prev | common | rest]
+                    pn = adj.get(prev, set())
+                    base = [x for x in nbrs if x != prev]
+                    common = sorted(x for x in base if x in pn)
+                    rest = sorted(x for x in base if x not in pn)
+                    c_ret = w_ret * (len(nbrs) - len(base))
+                    c_in = c_ret + w_in * len(common)
+                    u = h % (c_in + w_out * len(rest))
+                    if u < c_ret:
+                        nxt = prev
+                    elif u < c_in:
+                        nxt = common[(u - c_ret) // w_in]
+                    else:
+                        nxt = rest[(u - c_in) // w_out]
                 prev, cur = cur, nxt
                 rows.add((wid, v, t, cur))
     return rows

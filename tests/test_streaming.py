@@ -36,6 +36,61 @@ def test_incremental_batches_match_batch_wcc(spark, tmp_path):
         assert got == ref_wcc(sorted(adj), adj)
 
 
+def _bucket_files(path):
+    """{relative file path: md5} for every data file under a bucket dir."""
+    import hashlib
+
+    state = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                state[os.path.relpath(p, path)] = hashlib.md5(fh.read()).hexdigest()
+    return state
+
+
+def test_incremental_wcc_rewrites_only_affected_buckets(spark, tmp_path):
+    """A batch that merges two components must rewrite ONLY the buckets
+    holding vids of the absorbed component — every other bucket's files
+    stay byte-identical (the O(affected), not O(V), write property)."""
+    labels_path = str(tmp_path / "labels")
+    b1 = [(i, i + 1000) for i in range(0, 40, 2)]  # 20 two-vertex components
+    incremental_wcc_batch(edges_df(spark, b1), labels_path, spark)
+    before = _bucket_files(labels_path)
+    lab = {
+        r["vid"]: (r["component"], r["bucket"])
+        for r in spark.read.parquet(labels_path).collect()
+    }
+    incremental_wcc_batch(edges_df(spark, [(0, 2)]), labels_path, spark)
+    after = _bucket_files(labels_path)
+    # label 2 is absorbed into 0: exactly vids {2, 1002} move buckets-wise
+    moved = {v for v, (c, _) in lab.items() if c == 2}
+    assert moved == {2, 1002}
+    affected = {f"bucket={lab[v][1]}" for v in moved}
+    untouched = {f.split(os.sep)[0] for f in before} - affected
+    assert untouched, "test vacuous: every bucket was affected"
+    for rel, digest in before.items():
+        if rel.split(os.sep)[0] in untouched:
+            assert after.get(rel) == digest, f"untouched bucket file changed: {rel}"
+    got = {
+        r["vid"]: r["component"] for r in spark.read.parquet(labels_path).collect()
+    }
+    adj = symmetrize(b1 + [(0, 2)])
+    assert got == ref_wcc(sorted(adj), adj)
+
+
+def test_incremental_wcc_noop_batch_rewrites_nothing(spark, tmp_path):
+    """A batch whose edges are all within existing components must not
+    touch a single file."""
+    labels_path = str(tmp_path / "labels")
+    incremental_wcc_batch(edges_df(spark, [(0, 1), (2, 3)]), labels_path, spark)
+    before = _bucket_files(labels_path)
+    incremental_wcc_batch(edges_df(spark, [(0, 1)]), labels_path, spark)
+    assert _bucket_files(labels_path) == before
+
+
 def test_streaming_files_end_to_end(spark, tmp_path):
     edges_dir = str(tmp_path / "edges")
     labels_path = str(tmp_path / "labels")
