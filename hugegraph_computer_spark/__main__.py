@@ -52,6 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sampled source count (closeness/betweenness)")
     p.add_argument("--seed-vertices", default=None,
                    help="ppr: comma-separated vertex ids to personalize to")
+    p.add_argument("--walk-length", type=int, default=8,
+                   help="random_walks/node2vec: steps per walk")
+    p.add_argument("--walks-per-vertex", type=int, default=1,
+                   help="random_walks/node2vec: walks started per vertex")
+    p.add_argument("--p", type=float, default=1.0,
+                   help="node2vec return parameter (1/p return bias)")
+    p.add_argument("--q", type=float, default=1.0,
+                   help="node2vec in-out parameter (1/q DFS bias)")
+    p.add_argument("--fanouts", default="10,5",
+                   help="neighborhood_sample: comma-separated per-hop fanouts")
     # Links/Rings condition DSL (SQL boolean exprs over vid / edge columns —
     # the engine's equivalent of the reference's JSON property-filter DSL,
     # links/filter/LinksSpreadFilter.java, rings/filter/*).
@@ -64,6 +74,37 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--end-edge-cond", default=None,
                    help="links: SQL over edge columns; matching edges record the path")
     return p
+
+
+# vertex-id columns per algorithm whose output is NOT (vid, value...):
+# walk corpora carry vertex ids in start/vid (walk_id is vid*wpv+replica,
+# NOT a vertex id), GNN blocks in root/src/dst — joining the first column
+# against the id map would silently decode walk ids as repos
+VERTEX_COLS = {
+    "random_walks": ["start", "vid"],
+    "node2vec": ["start", "vid"],
+    "neighborhood_sample": ["root", "src", "dst"],
+}
+
+
+def _decode_corpus_ids(result, ids, algorithm: str):
+    """Map dense vertex ids back to repo names in every vertex column."""
+    from pyspark.sql import functions as F
+
+    vcols = VERTEX_COLS.get(algorithm)
+    if vcols is None:
+        vid_col = result.columns[0]
+        return result.join(ids, result[vid_col] == ids["vid"]).select(
+            ids["orig"].alias("repo"), *[result[c] for c in result.columns[1:]]
+        )
+    for c in vcols:
+        m = ids.select(F.col("vid").alias("__v"), F.col("orig").alias("__o"))
+        result = (
+            result.join(m, result[c] == m["__v"], "left")
+            .withColumn(c, F.col("__o"))
+            .drop("__v", "__o")
+        )
+    return result
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -137,13 +178,26 @@ def main(argv: list[str] | None = None) -> int:
         kw = dict(max_supersteps=args.max_supersteps)
         if args.spread_cond is not None:
             kw["spread_cond"] = args.spread_cond
+    elif args.algorithm in ("random_walks", "node2vec"):
+        kw = dict(
+            walks_per_vertex=args.walks_per_vertex,
+            walk_length=args.walk_length,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        if args.algorithm == "node2vec":
+            kw.update(p=args.p, q=args.q)
+    elif args.algorithm == "neighborhood_sample":
+        if args.checkpoint_dir is not None or args.resume:
+            print("neighborhood_sample does not support --checkpoint-dir/"
+                  "--resume (single multi-hop job, no superstep state)",
+                  file=sys.stderr)
+            return 2
+        kw = dict(fanouts=tuple(int(x) for x in args.fanouts.split(",")))
 
     result = algo(g, **kw)
     if ids is not None:
-        vid_col = result.columns[0]
-        result = result.join(ids, result[vid_col] == ids["vid"]).select(
-            ids["orig"].alias("repo"), *[result[c] for c in result.columns[1:]]
-        )
+        result = _decode_corpus_ids(result, ids, args.algorithm)
 
     if args.output_format == "parquet":
         outputs.table_output(result, args.output)

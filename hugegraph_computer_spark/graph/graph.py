@@ -332,8 +332,13 @@ class Graph:
             .select("vid", F.coalesce("deg", zero).alias("deg"))
         )
 
-    def adjacency(self, chunk: int = DEFAULT_ADJ_CHUNK, cache: bool = True) -> DataFrame:
-        """Chunked adjacency ``(vid, nbrs array<long>, deg long)``.
+    def adjacency(
+        self,
+        chunk: int = DEFAULT_ADJ_CHUNK,
+        cache: bool = True,
+        keep_chunk_no: bool = False,
+    ) -> DataFrame:
+        """Chunked adjacency ``(vid[, chunk_no int], nbrs array<long>, deg long)``.
 
         ``deg`` is the vertex's TOTAL degree (repeated on every chunk row).
         Hubs with degree > chunk are split across ceil(deg/chunk) rows —
@@ -342,42 +347,49 @@ class Graph:
         skew-salting required by the north rule: exploding a chunk never
         materializes a hub's full neighbor list in one task, and downstream
         groupBy(dst) partial-aggregates per chunk.
+
+        ``keep_chunk_no=True`` exposes the chunk ordinal (chunks are
+        consecutive slices of the globally sorted neighbor list, so
+        global index ``i`` lives in chunk ``i div chunk`` at offset
+        ``i mod chunk`` — the two-level indexed choice random_walks
+        uses). One frame is cached per chunk size; the chunk_no-free
+        shape is a projection of it, so both share the cache.
         """
         key = chunk
-        if key in self._adj_cache:
-            return self._adj_cache[key]
-        adj = (
-            self.edges.groupBy("src")
-            .agg(F.sort_array(F.collect_list("dst")).alias("all_nbrs"))
-            .select(
-                F.col("src").alias("vid"),
-                F.col("all_nbrs"),
-                F.size("all_nbrs").cast("long").alias("deg"),
-            )
-        )
-        adj = adj.select(
-            "vid",
-            "deg",
-            F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.floor((F.col("deg") - 1) / F.lit(chunk)).cast("int"),
-                    ),
-                    lambda i: F.slice(F.col("all_nbrs"), i * chunk + 1, chunk),
+        if key not in self._adj_cache:
+            adj = (
+                self.edges.groupBy("src")
+                .agg(F.sort_array(F.collect_list("dst")).alias("all_nbrs"))
+                .select(
+                    F.col("src").alias("vid"),
+                    F.col("all_nbrs"),
+                    F.size("all_nbrs").cast("long").alias("deg"),
                 )
-            ).alias("chunk_no", "nbrs"),
-        ).select("vid", "nbrs", "deg")
-        # Persist hash-partitioned AND sorted by vid: the cached relation
-        # then advertises both, so the per-superstep scatter SMJ needs no
-        # exchange and no re-sort on the (large, static) adjacency side —
-        # the Spark analogue of the reference's id-sorted partition files
-        # merged-joined each superstep (FileGraphPartition.compute:158-214).
-        adj = adj.repartition(self.num_partitions, "vid").sortWithinPartitions("vid")
-        if cache:
-            adj = adj.persist()
-        self._adj_cache[key] = adj
-        return adj
+            )
+            adj = adj.select(
+                "vid",
+                "deg",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.floor((F.col("deg") - 1) / F.lit(chunk)).cast("int"),
+                        ),
+                        lambda i: F.slice(F.col("all_nbrs"), i * chunk + 1, chunk),
+                    )
+                ).alias("chunk_no", "nbrs"),
+            ).select("vid", "chunk_no", "nbrs", "deg")
+            # Persist hash-partitioned AND sorted by vid: the cached relation
+            # then advertises both, so the per-superstep scatter SMJ needs no
+            # exchange and no re-sort on the (large, static) adjacency side —
+            # the Spark analogue of the reference's id-sorted partition files
+            # merged-joined each superstep (FileGraphPartition.compute:158-214).
+            adj = adj.repartition(self.num_partitions, "vid").sortWithinPartitions("vid")
+            if cache:
+                adj = adj.persist()
+            self._adj_cache[key] = adj
+        adj = self._adj_cache[key]
+        return adj if keep_chunk_no else adj.select("vid", "nbrs", "deg")
 
     def flat_edges(
         self,

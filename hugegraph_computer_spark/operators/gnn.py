@@ -25,9 +25,11 @@ shuffle). Each hop is (1) distinct-frontier shuffle bounded by
 (3) a PER-ROW JVM kernel — rank/sort/slice entirely inside higher-order
 functions (``transform``/``array_sort``/``slice``), so no explode
 happens before sampling and no window function ranks |E| rows. The
-explode emits only the ≤ fanout sampled edges. Hub vertices cost
-O(deg·log deg) in the per-row sort, bounded by the same single-row
-trade documented in operators/walks.py.
+explode emits only the ≤ fanout sampled edges. Hub vertices are CHUNKED
+(Graph.adjacency): ranking runs per bounded chunk and the per-vertex
+merge folds only each chunk's ≤fanout survivors, so a 10^8-degree hub
+costs many O(chunk·log chunk) kernels plus an O(fanout·deg/chunk)
+merge row — never a single full-degree row or sort.
 """
 
 from __future__ import annotations
@@ -65,16 +67,15 @@ def neighborhood_sample(
     if not fanouts or any(f < 1 for f in fanouts):
         raise ValueError("neighborhood_sample: fanouts must be non-empty, all >= 1")
 
-    # sorted neighbor arrays, hash-partitioned by vertex (same build as
-    # operators/walks.py) — the static join side for every hop
-    adj = (
-        graph.edges.select("src", "dst")
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
-        .select(F.col("src").alias("avid"), "nbrs")
-        .persist()
-    )
-    adj.count()
+    # CHUNKED sorted neighbor arrays (Graph.adjacency, shared cache,
+    # hash-partitioned by vertex) — the static join side for every hop.
+    # Hubs with degree > chunk are split across rows, so ranking a
+    # 10^8-degree hub is many bounded per-chunk kernels, never one
+    # multi-GB row; per-chunk top-fanout candidates merge per vertex
+    # below (global top-k ⊆ union of per-chunk top-ks, so results are
+    # identical to the flat form and the oracle is unchanged)
+    adj = graph.adjacency().select(F.col("vid").alias("avid"), "nbrs", "deg")
+    from hugegraph_computer_spark.graph.graph import DEFAULT_ADJ_CHUNK
 
     if roots is None:
         frontier = graph.vertices().select(
@@ -105,9 +106,34 @@ def neighborhood_sample(
                 ),
             )
         )
-        samp = adj.select(
-            "avid", F.slice(ranked, 1, int(fanout)).getField("d").alias("samp")
+        # ONE pass over the big cached arrays emits each chunk's ≤fanout
+        # ranked candidates (a tiny frame: E/chunk rows of fanout
+        # structs), materialized so the branch split below never
+        # re-scans the arrays. Vertices fitting one chunk — the
+        # overwhelming majority — take their slice directly with NO
+        # aggregation (the r4 plan); only hubs with deg > chunk merge
+        # their per-chunk survivors, each merge row bounded by
+        # fanout·ceil(deg/chunk) structs (MBs at 10^8 degree, not GBs)
+        cand_all = adj.select(
+            "avid", "deg", F.slice(ranked, 1, int(fanout)).alias("cand")
         ).localCheckpoint(eager=True)
+        single = cand_all.where(F.col("deg") <= DEFAULT_ADJ_CHUNK).select(
+            "avid", F.col("cand").getField("d").alias("samp")
+        )
+        multi = (
+            cand_all.where(F.col("deg") > DEFAULT_ADJ_CHUNK)
+            .groupBy("avid")
+            .agg(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("cand"))),
+                    1,
+                    int(fanout),
+                )
+                .getField("d")
+                .alias("samp")
+            )
+        )
+        samp = single.unionByName(multi)
         block = (
             frontier.join(samp, frontier["vid"] == samp["avid"])
             .select(
@@ -118,11 +144,11 @@ def neighborhood_sample(
             )
             .localCheckpoint(eager=True)
         )
-        release_local_checkpoint(samp)
+        release_local_checkpoint(cand_all)
         out = out.unionByName(block)
         if h < len(fanouts):
             # next frontier: distinct (root, sampled dst) — bounded by
             # |roots|·prod(fanouts[:h]); the only per-hop shuffle
             frontier = block.select("root", F.col("dst").alias("vid")).distinct()
-    adj.unpersist()
+    # adj is the graph's shared cached adjacency — leave it persisted
     return out

@@ -142,15 +142,103 @@ def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit, no interlace)
+
+
+def _png_unfilter(filt: np.ndarray, prior: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
+    """Invert one scanline's PNG filter (RFC 2083 §6). Filters None/Up
+    are vectorized; Sub is a per-lane modular cumsum; Average/Paeth are
+    genuinely sequential in x (left-neighbor recurrence) — a per-byte
+    loop bounded by the row width, the same shape libpng uses."""
+    n = len(filt)
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:  # Up
+        return (filt.astype(np.int32) + prior).astype(np.uint8)
+    if ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] — lane cumsum
+        out = filt.astype(np.int64).copy()
+        pad = (-n) % bpp
+        lanes = np.concatenate([out, np.zeros(pad, np.int64)]).reshape(-1, bpp)
+        return (
+            np.cumsum(lanes, axis=0).reshape(-1)[:n] % 256
+        ).astype(np.uint8)
+    out = np.empty(n, np.uint8)
+    for x in range(n):
+        left = int(out[x - bpp]) if x >= bpp else 0
+        up = int(prior[x])
+        if ftype == 3:  # Average
+            out[x] = (int(filt[x]) + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            ul = int(prior[x - bpp]) if x >= bpp else 0
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out[x] = (int(filt[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Parse a PNG with the stdlib only (zlib) + numpy — a REAL
+    compressed-container decode: signature, chunk walk (length/type/crc
+    framing, ancillary chunks skipped), multi-IDAT concatenation,
+    zlib inflate, per-scanline unfilter of all five filter types.
+    Supports 8-bit gray/RGB/RGBA, non-interlaced (the overwhelming
+    training-corpus case); 16-bit, palette, and Adam7 raise
+    DecoderUnavailable. Returns uint8 pixels shaped (h, w, channels)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise DecoderUnavailable("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise DecoderUnavailable(
+            f"PNG depth={depth} color_type={color_type} interlace={interlace} "
+            "not supported by the stdlib decoder (needs PIL)"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG inflated size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prior = np.zeros(stride, np.uint8)
+    for y in range(h):
+        prior = _png_unfilter(rows[y, 1:], prior, int(rows[y, 0]), ch)
+        out[y] = prior
+    return out.reshape(h, w, ch)
+
+
 def real_decode(payload: bytes, modality: str) -> np.ndarray:
-    """REAL decode for the codec-free container formats (VERDICT r3
-    missing #2): binary PPM images and PCM16 WAV audio, parsed with pure
-    numpy. Returns uint8 pixels (h, w, 3) for images, int16 samples for
-    audio. Video (and compressed image/audio codecs) still raises
-    DecoderUnavailable — those need PIL/librosa/av on the cluster image,
-    and this is exactly the seam to swap them into."""
+    """REAL decode for the self-contained container formats: binary PPM
+    and stdlib-zlib PNG images, PCM16 WAV audio — parsed with pure
+    numpy. Returns uint8 pixels (h, w, channels) for images, int16
+    samples for audio. Video (and codec-bound formats: JPEG/MP3/MP4)
+    still raises DecoderUnavailable — those need PIL/librosa/av on the
+    cluster image, and this is exactly the seam to swap them into."""
     if modality == "image":
-        return _decode_ppm(bytes(payload))
+        data = bytes(payload)
+        if data[:8] == _PNG_SIG:
+            return _decode_png(data)
+        return _decode_ppm(data)
     if modality == "audio":
         return _decode_wav(bytes(payload))[1]
     raise DecoderUnavailable(
@@ -228,6 +316,82 @@ def synth_video_assets(
             )[:raster_len]
             frames.append(f"P6\n# frame {f}\n{w} {h}\n255\n".encode() + raster)
         rows.append((i, "video", bytearray(b"".join(frames)), (w, h, None, n_frames)))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synth_png_assets(
+    spark: SparkSession,
+    n: int = 32,
+    seed: int = 13,
+    w: int = 16,
+    h: int = 16,
+) -> DataFrame:
+    """Deterministic REAL PNG files: 8-bit RGB, one ancillary tEXt chunk
+    (the chunk walk must skip it), scanline ``y`` filtered with type
+    ``y % 5`` — every PNG filter (None/Sub/Up/Average/Paeth) appears in
+    every file, so the decoder must invert all five to recover the
+    raster. Raster bytes are the sha256 digest chain of
+    ``"{seed}:{i}:{block}"`` (same convention as synth_real_assets), so
+    a DuckDB oracle re-derives decoded statistics from the formula while
+    the Spark side must genuinely inflate + unfilter the container."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raster_len = w * h * 3
+    n_blocks = -(-raster_len // 32)
+    rows = []
+    for i in range(n):
+        raster = b"".join(
+            hashlib.sha256(f"{seed}:{i}:{b}".encode()).digest()
+            for b in range(n_blocks)
+        )[:raster_len]
+        img = np.frombuffer(raster, np.uint8).reshape(h, w * 3).astype(np.int32)
+        lines = []
+        for y in range(h):
+            f = y % 5
+            cur = img[y]
+            prior = img[y - 1] if y > 0 else np.zeros(w * 3, np.int32)
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            upleft = np.concatenate([np.zeros(3, np.int32), prior[:-3]])
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prior
+            elif f == 3:
+                filt = cur - (left + prior) // 2
+            else:  # Paeth predictor per RFC 2083
+                p = left + prior - upleft
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - prior),
+                    np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prior, upleft),
+                )
+                filt = cur - pred
+            lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"tEXt", b"Comment\x00synthetic asset")
+            + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+            + chunk(b"IEND", b"")
+        )
+        rows.append((i, "image", bytearray(payload), (w, h, None, None)))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

@@ -256,9 +256,26 @@ def personalized_pagerank(
         if not vids:
             raise ValueError("personalized_pagerank: empty source set")
         src_df = spark.createDataFrame([(int(v),) for v in vids], "vid long")
+    # restrict to vids that exist in the graph BEFORE sizing 1/|S|:
+    # a ghost seed (typo'd --seed-vertices id) would otherwise dilute the
+    # restart mass silently — every rank scaled by |S∩V|/|S|, Σr < 1
+    n_req = src_df.count()
+    if n_req == 0:
+        raise ValueError("personalized_pagerank: empty source set")
+    src_df = src_df.join(graph.vertices(), "vid", "leftsemi")
     n_src = src_df.count()
     if n_src == 0:
-        raise ValueError("personalized_pagerank: empty source set")
+        raise ValueError(
+            "personalized_pagerank: no source vertex exists in the graph"
+        )
+    if n_src < n_req:
+        import warnings
+
+        warnings.warn(
+            f"personalized_pagerank: dropped {n_req - n_src} seed id(s) "
+            f"not present in the graph; restart mass is 1/{n_src}",
+            stacklevel=2,
+        )
     if supersteps < 1:
         raise ValueError("personalized_pagerank: supersteps >= 1")
 

@@ -28,8 +28,16 @@ length / indexOf`` and ``math.abs / min / max / sqrt / pow`` — each
 compiled to a SQL twin verified to evaluate identically in Spark SQL
 and DuckDB. ``nil`` follows Aviator's semantics for ``==``/``!=``
 (a missing/nil property equals nil), compiled to ``IS [NOT] NULL``;
-any other use of ``nil`` raises. Anything else raises — better a loud
-error than silently-different predicate semantics.
+any other use of ``nil`` raises. The seq library covers literal
+collections — ``seq.list(...)`` / ``seq.set(...)`` consumed by
+``include()`` membership (ANSI IN-list) and ``count()``; a seq literal
+anywhere else raises (arbitrary runtime sequences are not compilable).
+``=~`` compiles the Aviator regex match (full-match ``Pattern.matches``
+semantics) to an anchored ``REGEXP_LIKE`` — ``duckdb_dialect`` rewrites
+it to ``regexp_matches`` for oracle parity; a NULL subject is not a
+match (the reference would throw on nil — our twin filters it out,
+documented deviation). Anything else raises — better a loud error than
+silently-different predicate semantics.
 """
 
 from __future__ import annotations
@@ -48,11 +56,11 @@ __all__ = [
 _TOKEN = re.compile(
     r"""(?P<ws>\s+)
       | (?P<ns>\$[a-z]+\.[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<fn>(?:string|math)\.[A-Za-z][A-Za-z0-9]*)
+      | (?P<fn>(?:string|math|seq)\.[A-Za-z][A-Za-z0-9]*)
       | (?P<num>\d+\.\d+|\d+)
       | (?P<str>'[^']*'|"[^"]*")
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op>==|!=|<=|>=|&&|\|\||[(),<>+\-*/%!])
+      | (?P<op>=~|==|!=|<=|>=|&&|\|\||[(),<>+\-*/%!])
     """,
     re.X,
 )
@@ -80,6 +88,96 @@ _FNS: dict[str, tuple[int, Callable[[list[str]], str]]] = {
     "math.sqrt": (1, lambda a: f"SQRT({a[0]})"),
     "math.pow": (2, lambda a: f"POWER({a[0]}, {a[1]})"),
 }
+
+# --- Aviator seq library (the collection surface a describe config can
+# use: seq.list / seq.set literals consumed by include() membership and
+# count()). A seq literal compiles to an internal marker — legal ONLY as
+# the seq argument of include/count, where it lowers to pure ANSI
+# (IN-list / element count); a marker escaping to the final SQL raises.
+_SEQ_MARK = "\x00seq\x00"
+_SEQ_SEP = "\x1e"
+
+
+def _seq_ctor(args: list[str]) -> str:
+    return _SEQ_MARK + _SEQ_SEP.join(args)
+
+
+def _seq_items(arg: str, fn: str) -> list[str]:
+    if not arg.startswith(_SEQ_MARK):
+        raise ValueError(
+            f"{fn} needs a seq.list(...)/seq.set(...) literal as its seq "
+            "argument (arbitrary runtime sequences are not compilable to SQL)"
+        )
+    return arg[len(_SEQ_MARK):].split(_SEQ_SEP)
+
+
+def _seq_include(a: list[str]) -> str:
+    items = _seq_items(a[0], "include")
+    return f"({a[1]} IN ({', '.join(items)}))"
+
+
+def _seq_count(a: list[str]) -> str:
+    return str(len(_seq_items(a[0], "count")))
+
+
+def _seq_set_ctor(args: list[str]) -> str:
+    # set semantics: duplicate literals collapse (Aviator seq.set)
+    seen: list[str] = []
+    for a in args:
+        if a not in seen:
+            seen.append(a)
+    return _seq_ctor(seen)
+
+
+_FNS["seq.list"] = (-1, _seq_ctor)
+_FNS["seq.set"] = (-1, _seq_set_ctor)
+_FNS["include"] = (2, _seq_include)
+_FNS["count"] = (1, _seq_count)
+
+
+def _operand_span_bwd(out: list[str], expr: str) -> int:
+    """Start index of the operand ENDING at out[-1] (a compiled operand
+    is one element unless parenthesized)."""
+    if not out:
+        raise ValueError(f"'=~' needs a left operand in {expr!r}")
+    if out[-1] != ")":
+        return len(out) - 1
+    bal = 0
+    for j in range(len(out) - 1, -1, -1):
+        if out[j] == ")":
+            bal += 1
+        elif out[j] == "(":
+            bal -= 1
+            if bal == 0:
+                return j
+    raise ValueError(f"unbalanced operand before '=~' in {expr!r}")
+
+
+def _scan_regex_literal(expr: str, pos: int) -> tuple[str, int]:
+    """Read the pattern after '=~': an Aviator ``/regex/`` literal
+    (backslash escapes pass through; ``\\/`` escapes the delimiter) or a
+    plain string literal. Returns (pattern, new_pos)."""
+    while pos < len(expr) and expr[pos].isspace():
+        pos += 1
+    if pos >= len(expr):
+        raise ValueError(f"'=~' missing a pattern in {expr!r}")
+    quote = expr[pos]
+    if quote in "'\"/":
+        pos += 1
+        buf = []
+        while pos < len(expr):
+            c = expr[pos]
+            if c == "\\" and quote == "/" and pos + 1 < len(expr):
+                nxt = expr[pos + 1]
+                buf.append(nxt if nxt == "/" else c + nxt)
+                pos += 2
+                continue
+            if c == quote:
+                return "".join(buf), pos + 1
+            buf.append(c)
+            pos += 1
+        raise ValueError(f"unterminated pattern after '=~' in {expr!r}")
+    raise ValueError(f"'=~' needs a /regex/ or string pattern in {expr!r}")
 _OPS = {
     "==": "=", "!=": "<>", "&&": "AND", "||": "OR", "!": "NOT",
     "<": "<", "<=": "<=", ">": ">", ">=": ">=",
@@ -159,9 +257,14 @@ def aviator_to_sql(expr: str, ns_map: dict[str, Callable[[str], str]]) -> str:
                         " ".join(out[bounds[i]:bounds[i + 1]])
                         for i in range(len(bounds) - 1)
                     ]
-                    if len(args) != arity or any(not a for a in args):
+                    if (
+                        (arity >= 0 and len(args) != arity)
+                        or (arity < 0 and not args)
+                        or any(not a for a in args)
+                    ):
+                        need = "1+" if arity < 0 else str(arity)
                         raise ValueError(
-                            f"{name} takes {arity} argument(s) in {expr!r}"
+                            f"{name} takes {need} argument(s) in {expr!r}"
                         )
                     del out[start:]
                     out.append(template(args))
@@ -170,12 +273,29 @@ def aviator_to_sql(expr: str, ns_map: dict[str, Callable[[str], str]]) -> str:
                 depth -= 1
                 if depth < 0:
                     raise ValueError(f"unbalanced parens in {expr!r}")
+            elif tok == "=~":
+                # Aviator regex match: full-match semantics
+                # (Pattern.matches), so the SQL twin anchors the pattern;
+                # REGEXP_LIKE is Spark syntax — DuckDB parity goes
+                # through regexp_matches (see duckdb_dialect)
+                pattern, pos = _scan_regex_literal(expr, pos)
+                if "'" in pattern:
+                    raise ValueError(f"embedded quote in pattern: {pattern!r}")
+                start = _operand_span_bwd(out, expr)
+                operand = " ".join(out[start:])
+                del out[start:]
+                out.append(f"REGEXP_LIKE({operand}, '^(?:{pattern})$')")
             else:
                 out.append(_OPS[tok])
     if depth != 0 or pending_fn is not None:
         raise ValueError(f"unbalanced expression {expr!r}")
     _rewrite_nil(out, expr)
-    return " ".join(out)
+    sql = " ".join(out)
+    if _SEQ_MARK in sql:
+        raise ValueError(
+            f"seq.list/seq.set is only legal inside include()/count() in {expr!r}"
+        )
+    return sql
 
 
 def _rewrite_nil(out: list[str], expr: str) -> None:
@@ -217,6 +337,18 @@ def _rewrite_nil(out: list[str], expr: str) -> None:
                 f"nil is only supported with == / != (IS [NOT] NULL) in {expr!r}"
             )
         i += 1
+
+
+def duckdb_dialect(sql: str) -> str:
+    """Rewrite compiled Spark-flavor SQL for DuckDB (the cross-engine
+    parity tests and oracles): identifier quoting, STRING→VARCHAR cast,
+    and the regex predicate (REGEXP_LIKE → regexp_matches — same
+    anchored pattern, both partial-match engines)."""
+    return (
+        sql.replace("`", '"')
+        .replace("AS STRING", "AS VARCHAR")
+        .replace("REGEXP_LIKE(", "regexp_matches(")
+    )
 
 
 def _col(prefix: str = "") -> Callable[[str], str]:

@@ -96,11 +96,12 @@ def export_shards(
 ) -> None:
     """Write ``path/shard=K/`` parquet, one directory per shard.
 
-    ``repartition(n_shards, shard)``: every write task streams exactly
-    one shard partition (no tiny-file explosion from tasks × shards),
-    and the hash balance bounds task skew. Readers (trainer data
-    loaders) open one directory per worker; partition pruning makes
-    per-shard reads free."""
+    ``repartition(n_shards, shard)`` hash-partitions on murmur3(shard) %
+    n_shards, so a write task holds zero, one, or occasionally a few
+    whole shards (hash collisions) — never fragments of many: total file
+    count is bounded by O(n_shards), not tasks × shards. Readers
+    (trainer data loaders) open one directory per worker; partition
+    pruning makes per-shard reads free."""
     shards = shard_assign(docs, n_shards, id_col=id_col, salt=salt)
     (
         shards.repartition(n_shards, "shard")

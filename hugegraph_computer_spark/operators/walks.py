@@ -18,14 +18,19 @@ portable 60-bit md5 family as SimHash/minhash (operators/dedup.py), so
 the DuckDB oracle reproduces every step exactly
 (oracles.random_walks_sql). No RNG state to ship, no Python in the loop.
 
-Scale shape: one cached neighbor-array frame, hash-partitioned by vertex
-(the ``groupBy`` that builds it is the only full-edge shuffle); each of
-the L supersteps shuffles only the walk frontier (V·walks_per_vertex
-rows) against it. Hub vertices hold their full sorted neighbor array in
-one row — O(1) random access is what a walk step needs; at extreme hub
-degrees the row grows, the documented trade against the chunked
-adjacency used by the BSP scatter ops (Graph.adjacency). Walks ending at
-a dead end (out-degree 0) simply stop — the inner join drops them.
+Scale shape: the shared CHUNKED neighbor-array frame (Graph.adjacency,
+hash-partitioned by vertex; its ``groupBy`` is the only full-edge
+shuffle); each of the L supersteps shuffles only the walk frontier
+(V·walks_per_vertex rows) against it. Hubs with degree > chunk are
+split across rows — the indexed choice resolves two-level (chunk ``i
+div C``, offset ``i mod C``) to the SAME neighbor the flat form picks,
+so a 10^8-degree hub never occupies one multi-GB row and the oracle
+keeps the flat ``nbrs[i+1]`` form. (node2vec_walks keeps single-row
+arrays: its intersect/except class split needs both full lists — the
+remaining documented hub trade.) On a multigraph (edge_freq='multiple')
+parallel edges weight the draw proportionally; the default deduped load
+gives simple-graph semantics. Walks ending at a dead end (out-degree 0)
+simply stop — the inner join drops them.
 
 With ``checkpoint_dir`` the run is resumable like the path floods: each
 superstep's walk frame is a durable delta; resume replays the contiguous
@@ -76,22 +81,20 @@ def random_walks(
         spark, job_name, checkpoint_dir, walk_length + 1, resume=resume
     )
 
-    # sorted neighbor arrays: collect_set dedups parallel edges (walk
-    # semantics are over the simple graph), sort_array makes the indexed
-    # choice deterministic; groupBy leaves the frame hash-partitioned by
-    # vertex, so each superstep re-shuffles only the walk frontier
-    adj = (
-        graph.edges.select("src", "dst")
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
-        .select(
-            F.col("src").alias("avid"),
-            "nbrs",
-            F.size("nbrs").cast("long").alias("deg"),
-        )
-        .persist()
+    # chunked sorted neighbor arrays (Graph.adjacency): hubs with degree
+    # > chunk are split across rows, so a 10^8-degree vertex never holds
+    # a multi-GB single row; chunks are consecutive slices of the
+    # globally sorted list, so the indexed choice i = h % deg resolves
+    # two-level — chunk i div C, offset i mod C — with NO change to the
+    # drawn neighbor (the DuckDB oracle keeps the flat nbrs[i+1] form).
+    # The frame is cached hash-partitioned by vertex; each superstep
+    # re-shuffles only the walk frontier against it.
+    from hugegraph_computer_spark.graph.graph import DEFAULT_ADJ_CHUNK
+
+    chunk = DEFAULT_ADJ_CHUNK
+    adj = graph.adjacency(chunk=chunk, keep_chunk_no=True).select(
+        F.col("vid").alias("avid"), "chunk_no", "nbrs", "deg"
     )
-    adj.count()
 
     frames: list[tuple[int, DataFrame]] = []
     locals_: list[DataFrame] = []
@@ -134,13 +137,25 @@ def random_walks(
 
     for t in range(start_t, walk_length + 1):
         # compute the choice via withColumn BEFORE aliasing it to "vid":
-        # the hash inside idx references F.col("vid"), and a select that
-        # simultaneously re-binds that name can make Spark resolve the
-        # ref against the new sibling alias (see node2vec_walks)
-        idx = (_choice_hash(seed, t - 1) % F.col("deg") + 1).cast("int")
+        # the hash inside the index references F.col("vid"), and a select
+        # that simultaneously re-binds that name can make Spark resolve
+        # the ref against the new sibling alias (see node2vec_walks).
+        # Two-level pick: the equi-join on vertex matches every chunk row
+        # of the vertex; the chunk_no predicate keeps exactly the chunk
+        # holding the drawn global index (deg is total degree on every
+        # chunk row), then element_at indexes within it — O(deg/chunk)
+        # pairs scanned per hub step, never a full-degree row
+        gidx = _choice_hash(seed, t - 1) % F.col("deg")
         nxt = (
-            state.join(adj, state["vid"] == adj["avid"])
-            .withColumn("_next", F.element_at("nbrs", idx))
+            state.join(
+                adj,
+                (state["vid"] == adj["avid"])
+                & (adj["chunk_no"] == F.floor(gidx / F.lit(chunk)).cast("int")),
+            )
+            .withColumn(
+                "_next",
+                F.element_at("nbrs", (gidx % F.lit(chunk) + 1).cast("int")),
+            )
             .select("walk_id", "start", F.col("_next").alias("vid"))
         )
         obs = Observation(f"{job_name}_s{t}")
@@ -162,7 +177,8 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     for df in locals_:
         release_local_checkpoint(df)
-    adj.unpersist()
+    # adj is the graph's shared cached adjacency — leave it persisted
+    # (Graph.unpersist releases it with the rest of the cache)
     loop.cleanup()
     return out
 

@@ -50,6 +50,49 @@ SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS degree FROM e GROUP BY src
 """
 
 
+# Directed customer→supplier load: NO inverse-edge union — the oracle twin
+# of Graph.from_edges(symmetrize=False), i.e. the reference's
+# input.vertex_with_edges_bothdirection=true (ComputerOptions.java:811-817).
+EDGES_CS_DIRECTED = f"""
+e AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST({SUPPLIER_OFFSET} + l_suppkey AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+"""
+
+# directed graphs have dst-only vertices; v must be BOTH endpoint sets
+V_BOTH_ENDPOINTS = (
+    "v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)"
+)
+
+
+def degree_directed_sql() -> str:
+    """Out-degree on the DIRECTED load: suppliers (dst-only) have 0."""
+    return f"""
+WITH {EDGES_CS_DIRECTED},
+{V_BOTH_ENDPOINTS},
+d AS MATERIALIZED (
+  SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS degree FROM e GROUP BY src
+)
+SELECT v.vid, COALESCE(d.degree, 0.0) AS degree
+FROM v LEFT JOIN d ON v.vid = d.vid
+"""
+
+
+def pagerank_directed_sql(supersteps: int = 6, round_to: int = 9) -> str:
+    """Unrolled PageRank over the DIRECTED customer→supplier load — every
+    supplier is dangling (out-degree 0), so the dangling-mass
+    redistribution term carries real weight instead of being ~0 as on the
+    symmetric graph."""
+    return pagerank_sql(
+        supersteps=supersteps,
+        round_to=round_to,
+        edges_cte=EDGES_CS_DIRECTED,
+        vertices_cte=V_BOTH_ENDPOINTS,
+    )
+
+
 def degree_weighted_sql() -> str:
     # weight = Σ l_quantity per (customer, supplier); symmetrized copy
     # carries the same weight both directions (Graph.from_edges keeps the
@@ -1029,6 +1072,42 @@ WHERE p.cur = p.seq[1] AND p.cur <= list_min(p.seq)
 """
 
 
+def rings_filter_seq_sql() -> str:
+    """Twin of the ``rings_filter_seq`` gate — the describe's seq-library
+    and ``=~`` predicates hand-derived to INDEPENDENT DuckDB SQL:
+
+    * vertex 'user': ``include(seq.set(0, 1), long($element.weight)) &&
+      $element.name =~ /user_[0-3]/`` — weight = n%3 so membership is
+      ``n%3 < 2``; name is NULL iff n%4==0 (regex on NULL is not a
+      match) and 'user_<n%5>' otherwise, so the anchored full match is
+      ``n%4 <> 0 AND n%5 <= 3``.
+    * edge 'pay': ``count(seq.list(1,2,3)) == 3 && !include(
+      seq.list(3.0, 5.0), $element.weight)`` — count is identically 3;
+      membership derived here as a ``<>`` chain (vs the compiler's
+      ``NOT (w IN (...))``). No $message reference, so the filter also
+      gates the first hop.
+    """
+    return f"""
+WITH RECURSIVE {EDGES_NATION_LABELED},
+a AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS vid FROM nation
+  WHERE n_nationkey % 3 < 2 AND n_nationkey % 4 <> 0 AND n_nationkey % 5 <= 3
+),
+p(cur, seq) AS (
+  SELECT e.dst, [e.src] FROM e JOIN a ON e.src = a.vid
+  WHERE e.label <> 'pay' OR (e.weight <> 3.0 AND e.weight <> 5.0)
+  UNION ALL
+  SELECT e.dst, list_append(p.seq, p.cur)
+  FROM p JOIN a ON p.cur = a.vid JOIN e ON p.cur = e.src
+  WHERE p.cur <> p.seq[1] AND NOT list_contains(p.seq, p.cur)
+    AND (e.label <> 'pay' OR (e.weight <> 3.0 AND e.weight <> 5.0))
+)
+SELECT p.seq[1] AS vid, array_to_string(list_append(p.seq, p.cur), '-') AS ring_str
+FROM p JOIN a ON p.cur = a.vid
+WHERE p.cur = p.seq[1] AND p.cur <= list_min(p.seq)
+"""
+
+
 def betweenness_sql(
     n_sources: int = 16, max_depth: int = 12, round_to: int = 6
 ) -> str:
@@ -1257,6 +1336,32 @@ SELECT asset_id, modality,
        CAST(SUM(v * v) AS BIGINT) AS sumsq,
        ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_val
 FROM vals GROUP BY asset_id, modality
+"""
+
+
+def multimodal_png_sql(
+    n: int = 32, seed: int = 13, w: int = 16, h: int = 16
+) -> str:
+    """Twin of multimodal.synth_png_assets + decode_stats: the Spark side
+    walks the PNG chunk framing (skipping the ancillary tEXt), inflates
+    the zlib IDAT stream, and inverts the per-scanline filter (type
+    y % 5 — all five RFC 2083 filters appear); this oracle re-derives the
+    RAW raster bytes from the generator's sha256 chain, so any defect in
+    inflate or any unfilter branch shifts sum/sumsq and fails the hash."""
+    total = w * h * 3
+    return f"""
+WITH bytes AS MATERIALIZED (
+  SELECT i AS asset_id, 'image' AS modality,
+         ('0x' || substr(sha256('{seed}:' || i || ':' || (j // 32)),
+                         (j % 32) * 2 + 1, 2))::BIGINT AS b
+  FROM range(0, {n}) t(i) CROSS JOIN range(0, {total}) s(j)
+)
+SELECT asset_id, modality,
+       COUNT(*)::BIGINT AS n_vals,
+       CAST(SUM(b) AS BIGINT) AS sum_val,
+       CAST(SUM(b * b) AS BIGINT) AS sumsq,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_val
+FROM bytes GROUP BY asset_id, modality
 """
 
 

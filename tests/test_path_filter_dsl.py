@@ -50,7 +50,7 @@ def test_aviator_rejects_unsafe_or_unsupported():
     for bad in [
         "$foo.x == 1",            # unknown namespace
         "system('rm -rf /')",     # bare function call
-        "$element.x =~ 'a'",      # regex operator (unsupported)
+        "$element.x =~ 3",        # regex rhs must be /pattern/ or string
         "double($element.x",      # unbalanced
         "double",                 # cast not called
         "weight > 1",             # bare identifier (must use $ns)
