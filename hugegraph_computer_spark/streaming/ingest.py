@@ -80,6 +80,8 @@ def incremental_wcc_batch(
     """Fold one micro-batch of edges into the bucket-partitioned labels
     table at ``labels_path``, rewriting only affected buckets."""
     exists = os.path.exists(labels_path)
+    if batch.isEmpty():
+        return  # nothing to fold; never write an empty (schema-less) table
 
     # Δ-vertices of this batch, with their buckets (small; pinned so the
     # plans below don't recompute the batch source)
