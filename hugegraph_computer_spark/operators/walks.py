@@ -427,5 +427,6 @@ def node2vec_walks(
     out = out.localCheckpoint(eager=True)
     for df in locals_:
         release_local_checkpoint(df)
+    adj.unpersist()  # node2vec's own set-dedup'd frame, not the shared cache
     loop.cleanup()
     return out
