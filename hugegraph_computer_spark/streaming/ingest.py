@@ -128,7 +128,12 @@ def incremental_wcc_batch(
                 F.coalesce(mapping["root"], out["component"]).alias("component"),
                 "bucket",
             )
-        out.write.mode("overwrite").partitionBy("bucket").parquet(labels_path)
+        (
+            out.repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(labels_path)
+        )
         return
 
     if pairs.isEmpty():
@@ -168,10 +173,14 @@ def incremental_wcc_batch(
             F.coalesce(changed["root"], content["component"]).alias("component"),
             "bucket",
         )
-    # materialize BEFORE overwriting the buckets the plan reads from
+    # materialize BEFORE overwriting the buckets the plan reads from;
+    # then route rows so each rewritten bucket lands in ~one task —
+    # without this every write task can spray files into every affected
+    # bucket and small files accumulate batch over batch
     content = content.localCheckpoint(eager=True)
     (
-        content.write.mode("overwrite")
+        content.repartition(len(aff_list), "bucket")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(labels_path)
