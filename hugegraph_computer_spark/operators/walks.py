@@ -245,12 +245,16 @@ def node2vec_walks(
     so the pick is an integer division + ``element_at``: O(1) per walk,
     identical distribution to the textbook cumulative form. Per
     superstep the frontier (V·wpv rows) hash-joins the cached
-    neighbor-array frame twice (on ``vid`` and on ``prev``); the
-    intersect/except are linear JVM kernels in deg(v)+deg(prev) and NO
-    candidate-exploded rows, window functions, or extra exchanges exist
-    — per-step shuffle volume is the frontier itself, same as
-    :func:`random_walks`, vs the E·wpv-row windowed exchange of the
-    earlier variant (sub-linear at 10×, BENCH_r04 tp 0.89).
+    neighbor-array frame twice (on ``vid``, scalars only; then on
+    ``prev``, which re-exchanges the joined rows WITH their nbrs arrays
+    — Σ deg(visited) values, the irreducible payload of co-locating both
+    endpoint lists for the class split, but packed in arrays and shipped
+    ONCE); the intersect/except are linear JVM kernels in
+    deg(v)+deg(prev). vs the earlier windowed variant (sub-linear at
+    10×, BENCH_r04 tp 0.89): no candidate-exploded rows, no per-walk
+    window sort, and roughly half the exchanged bytes per superstep —
+    measured sf1 267 s → 39-72 s, throughput ratio 0.89 → 2.9+
+    (BENCH_new_ops_scale_r5.json).
 
     Simple-graph semantics like random_walks: Graph.from_edges(dedup)
     already collapses parallel edges, so each distinct neighbor is one
