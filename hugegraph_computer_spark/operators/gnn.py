@@ -98,9 +98,16 @@ def neighborhood_sample(
         # md5 work, measured 240 s vs ~4 s at sf0.1 with hop-2 frontiers
         # hitting supplier hubs. Materialized, ranking is O(E) per hop and
         # the join streams ≤fanout-element arrays.
+        # array_distinct: the shared adjacency keeps parallel edges (the
+        # walk operators weight draws by them), but sampling is over the
+        # simple graph — duplicates would carry identical ranks and
+        # crowd the fanout. Chunks slice the SORTED neighbor list, so a
+        # multigraph duplicate can only escape dedup when it straddles a
+        # chunk boundary (deg > chunk AND edge_freq='multiple'); default
+        # deduped loads are exact at every degree.
         ranked = F.array_sort(
             F.transform(
-                F.col("nbrs"),
+                F.array_distinct(F.col("nbrs")),
                 lambda x: F.struct(
                     _rank(seed, h, F.col("avid"), x).alias("r"), x.alias("d")
                 ),

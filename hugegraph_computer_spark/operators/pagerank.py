@@ -256,26 +256,9 @@ def personalized_pagerank(
         if not vids:
             raise ValueError("personalized_pagerank: empty source set")
         src_df = spark.createDataFrame([(int(v),) for v in vids], "vid long")
-    # restrict to vids that exist in the graph BEFORE sizing 1/|S|:
-    # a ghost seed (typo'd --seed-vertices id) would otherwise dilute the
-    # restart mass silently — every rank scaled by |S∩V|/|S|, Σr < 1
-    n_req = src_df.count()
+    n_req = src_df.count()  # the seed frame is small by contract
     if n_req == 0:
         raise ValueError("personalized_pagerank: empty source set")
-    src_df = src_df.join(graph.vertices(), "vid", "leftsemi")
-    n_src = src_df.count()
-    if n_src == 0:
-        raise ValueError(
-            "personalized_pagerank: no source vertex exists in the graph"
-        )
-    if n_src < n_req:
-        import warnings
-
-        warnings.warn(
-            f"personalized_pagerank: dropped {n_req - n_src} seed id(s) "
-            f"not present in the graph; restart mass is 1/{n_src}",
-            stacklevel=2,
-        )
     if supersteps < 1:
         raise ValueError("personalized_pagerank: supersteps >= 1")
 
@@ -284,7 +267,6 @@ def personalized_pagerank(
         resume=resume,
     )
     adj = graph.adjacency()
-    sflag_val = 1.0 / n_src
 
     start_superstep = 1
     state = None
@@ -298,22 +280,39 @@ def personalized_pagerank(
             start_superstep = s + 1
 
     if state is None:
-        state = (
-            graph.degrees()
-            .join(F.broadcast(src_df.withColumn("_s", F.lit(True))), "vid", "left")
-            .select(
-                "vid",
-                "deg",
-                F.when(F.col("_s"), F.lit(sflag_val)).otherwise(0.0).alias("sflag"),
-            )
-            .withColumn("rank", F.col("sflag"))
+        # ONE pass over the degrees ⟕ broadcast(seeds) frame sizes the
+        # restart mass: |S∩V| (a ghost seed — e.g. a typo'd
+        # --seed-vertices id — must NOT dilute 1/|S|, or Σr < 1 with
+        # every rank silently deflated) and the seed-side dangling count
+        # (dangling₀ = |dangling seeds| / |S∩V| since r₀ = e_S), so no
+        # separate vertex-set scan or second aggregate is needed
+        base = graph.degrees().join(
+            F.broadcast(src_df.withColumn("_s", F.lit(True))), "vid", "left"
         )
-        row = state.agg(
-            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias(
-                "dang"
-            )
+        row = base.agg(
+            F.count(F.when(F.col("_s"), 1)).alias("n_src"),
+            F.count(F.when(F.col("_s") & (F.col("deg") == 0), 1)).alias("n_dang"),
         ).collect()[0]
-        aggs = {"dangling": float(row["dang"]), "continue": True}
+        n_src = int(row["n_src"])
+        if n_src == 0:
+            raise ValueError(
+                "personalized_pagerank: no source vertex exists in the graph"
+            )
+        if n_src < n_req:
+            import warnings
+
+            warnings.warn(
+                f"personalized_pagerank: dropped {n_req - n_src} seed id(s) "
+                f"not present in the graph; restart mass is 1/{n_src}",
+                stacklevel=2,
+            )
+        sflag_val = 1.0 / n_src
+        state = base.select(
+            "vid",
+            "deg",
+            F.when(F.col("_s"), F.lit(sflag_val)).otherwise(0.0).alias("sflag"),
+        ).withColumn("rank", F.col("sflag"))
+        aggs = {"dangling": int(row["n_dang"]) / n_src, "continue": True}
         state = loop.save(0, state, aggs, {"supersteps": 0})
 
     for s in range(start_superstep, supersteps):

@@ -112,12 +112,28 @@ def _seq_items(arg: str, fn: str) -> list[str]:
 
 
 def _seq_include(a: list[str]) -> str:
+    # membership is runtime-dedup-insensitive (x IN (a, b) with a == b
+    # behaves like x IN (a)), so column-expression members are fine here
     items = _seq_items(a[0], "include")
     return f"({a[1]} IN ({', '.join(items)}))"
 
 
+_SEQ_LITERAL = re.compile(r"^(?:'[^']*'|\d+(?:\.\d+)?|TRUE|FALSE)$")
+
+
 def _seq_count(a: list[str]) -> str:
-    return str(len(_seq_items(a[0], "count")))
+    # count is resolved at COMPILE time from the member list, which is
+    # only sound for literals — two different column expressions can be
+    # equal at runtime (Aviator's seq.set would then hold one element
+    # while the compiled constant says two), so non-literals raise
+    items = _seq_items(a[0], "count")
+    bad = [i for i in items if not _SEQ_LITERAL.match(i)]
+    if bad:
+        raise ValueError(
+            f"count() needs literal-only seq members (runtime values can "
+            f"collapse under set semantics): {bad!r}"
+        )
+    return str(len(items))
 
 
 def _seq_set_ctor(args: list[str]) -> str:
@@ -277,14 +293,20 @@ def aviator_to_sql(expr: str, ns_map: dict[str, Callable[[str], str]]) -> str:
                 # Aviator regex match: full-match semantics
                 # (Pattern.matches), so the SQL twin anchors the pattern;
                 # REGEXP_LIKE is Spark syntax — DuckDB parity goes
-                # through regexp_matches (see duckdb_dialect)
+                # through regexp_matches (see duckdb_dialect). Spark's
+                # SQL parser unescapes backslashes inside string
+                # literals (\d would silently become d), so the pattern's
+                # backslashes are doubled for the Spark literal;
+                # duckdb_dialect undoes the doubling (DuckDB literals
+                # are standard-SQL, no backslash unescaping)
                 pattern, pos = _scan_regex_literal(expr, pos)
                 if "'" in pattern:
                     raise ValueError(f"embedded quote in pattern: {pattern!r}")
                 start = _operand_span_bwd(out, expr)
                 operand = " ".join(out[start:])
                 del out[start:]
-                out.append(f"REGEXP_LIKE({operand}, '^(?:{pattern})$')")
+                spark_pat = pattern.replace("\\", "\\\\")
+                out.append(f"REGEXP_LIKE({operand}, '^(?:{spark_pat})$')")
             else:
                 out.append(_OPS[tok])
     if depth != 0 or pending_fn is not None:
@@ -342,13 +364,23 @@ def _rewrite_nil(out: list[str], expr: str) -> None:
 def duckdb_dialect(sql: str) -> str:
     """Rewrite compiled Spark-flavor SQL for DuckDB (the cross-engine
     parity tests and oracles): identifier quoting, STRING→VARCHAR cast,
-    and the regex predicate (REGEXP_LIKE → regexp_matches — same
-    anchored pattern, both partial-match engines)."""
-    return (
-        sql.replace("`", '"')
-        .replace("AS STRING", "AS VARCHAR")
-        .replace("REGEXP_LIKE(", "regexp_matches(")
-    )
+    the regex predicate (REGEXP_LIKE → regexp_matches — same anchored
+    pattern, both partial-match engines), and backslash un-doubling
+    inside string literals (Spark's parser unescapes them, DuckDB's
+    does not). Replacements are QUOTE-AWARE: identifier/cast/function
+    rewrites never touch the inside of a string literal, so a backtick
+    or 'AS STRING' inside a pattern survives verbatim."""
+    parts = re.split(r"('(?:[^'])*')", sql)  # odd indices = quoted literals
+    for i, p in enumerate(parts):
+        if i % 2:  # string literal: only undo the Spark backslash doubling
+            parts[i] = p.replace("\\\\", "\\")
+        else:
+            parts[i] = (
+                p.replace("`", '"')
+                .replace("AS STRING", "AS VARCHAR")
+                .replace("REGEXP_LIKE(", "regexp_matches(")
+            )
+    return "".join(parts)
 
 
 def _col(prefix: str = "") -> Callable[[str], str]:

@@ -33,6 +33,7 @@ is a few million.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -71,6 +72,37 @@ def _collapse_labels(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     return comp.select(F.col("vid").alias("label"), F.col("component").alias("root"))
 
 
+def _pin_n_buckets(labels_path: str, n_buckets: int, exists: bool) -> int:
+    """The bucket count is a TABLE property, not a call property: folding
+    with a different count than the table was written with would hash
+    existing vids into the wrong partitions and silently duplicate them.
+    Pin it in an underscore-prefixed sidecar (ignored by parquet
+    discovery) on creation; later batches use the pinned value and warn
+    when the caller's differs."""
+    meta = os.path.join(labels_path, "_n_buckets.json")
+    if exists:
+        try:
+            with open(meta) as fh:
+                pinned = int(json.load(fh)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            return n_buckets  # pre-sidecar table: trust the caller
+        if pinned != n_buckets:
+            import warnings
+
+            warnings.warn(
+                f"incremental_wcc_batch: labels table was created with "
+                f"n_buckets={pinned}; ignoring n_buckets={n_buckets}",
+                stacklevel=3,
+            )
+        return pinned
+    return n_buckets
+
+
+def _write_n_buckets(labels_path: str, n_buckets: int) -> None:
+    with open(os.path.join(labels_path, "_n_buckets.json"), "w") as fh:
+        json.dump({"n_buckets": n_buckets}, fh)
+
+
 def incremental_wcc_batch(
     batch: DataFrame,
     labels_path: str,
@@ -82,7 +114,30 @@ def incremental_wcc_batch(
     exists = os.path.exists(labels_path)
     if batch.isEmpty():
         return  # nothing to fold; never write an empty (schema-less) table
+    n_buckets = _pin_n_buckets(labels_path, n_buckets, exists)
 
+    # every localCheckpoint pinned by this fold is released on exit — a
+    # long-running stream must not accumulate executor storage per batch
+    pinned: list[DataFrame] = []
+    try:
+        _incremental_wcc_batch(
+            batch, labels_path, spark, n_buckets, exists, pinned
+        )
+    finally:
+        from hugegraph_computer_spark.graph.bsp import release_local_checkpoint
+
+        for df in pinned:
+            release_local_checkpoint(df)
+
+
+def _incremental_wcc_batch(
+    batch: DataFrame,
+    labels_path: str,
+    spark: SparkSession,
+    n_buckets: int,
+    exists: bool,
+    pinned: list,
+) -> None:
     # Δ-vertices of this batch, with their buckets (small; pinned so the
     # plans below don't recompute the batch source)
     bverts = (
@@ -92,6 +147,7 @@ def incremental_wcc_batch(
         .withColumn("bucket", _bucket(F.col("vid"), n_buckets))
         .localCheckpoint(eager=True)
     )
+    pinned.append(bverts)
 
     if not exists:
         # first batch: the whole table IS the delta
@@ -134,6 +190,7 @@ def incremental_wcc_batch(
             .partitionBy("bucket")
             .parquet(labels_path)
         )
+        _write_n_buckets(labels_path, n_buckets)
         return
 
     if pairs.isEmpty():
@@ -143,6 +200,7 @@ def incremental_wcc_batch(
             return  # batch introduced nothing new: zero buckets rewritten
     else:
         mapping = _collapse_labels(pairs).localCheckpoint(eager=True)
+        pinned.append(mapping)
         changed = mapping.where(F.col("root") != F.col("label"))
         # read-only broadcast semi-join: which buckets hold a vid whose
         # component label is being merged away?
@@ -178,6 +236,7 @@ def incremental_wcc_batch(
     # without this every write task can spray files into every affected
     # bucket and small files accumulate batch over batch
     content = content.localCheckpoint(eager=True)
+    pinned.append(content)
     (
         content.repartition(len(aff_list), "bucket")
         .write.mode("overwrite")

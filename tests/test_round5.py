@@ -172,6 +172,11 @@ def test_aviator_seq_and_regex_agree_across_engines(spark):
         ("$element.s =~ /hel+o/", True),
         ("$element.s =~ /ell/", False),  # full-match semantics: anchored
         ("$element.s =~ 'h.*o'", True),
+        # backslash classes must survive Spark's string-literal
+        # unescaping AND stay identical in DuckDB (escape + un-double)
+        ("$element.s =~ /\\w+/", True),
+        ("$element.s =~ /\\d+/", False),
+        ("$element.s =~ /hell\\./", False),  # literal dot, not any-char
         ("include(seq.set(long($element.x)), 7)", True),
     ]
     for expr, expected in cases:
@@ -196,6 +201,9 @@ def test_aviator_seq_and_regex_reject_illegal_uses():
         "$element.x =~ 3",  # non-pattern rhs
         "$element.x =~ /unterminated",
         "include(seq.list(), $element.x)",  # empty seq
+        # compile-time count over runtime values is unsound (two column
+        # expressions can collapse to one element under set semantics)
+        "count(seq.set($element.x, $element.y)) == 2",
     ]:
         with pytest.raises(ValueError):
             aviator_to_sql(bad, ns)
