@@ -91,6 +91,43 @@ def test_hub_neighborhood_sample_matches_flat_rank(spark, hub_graph):
     assert got == sorted(e[0] for e in expected)
 
 
+# ------------------------- CLI corpus-mode decode for walk outputs
+
+
+def test_corpus_decode_maps_walk_vertex_columns_not_walk_ids(spark):
+    """--corpus with a walk algorithm must decode start/vid through the
+    id map (walk_id is vid*wpv+replica, NOT a vertex id — ADVICE r4 #1)."""
+    from hugegraph_computer_spark.__main__ import _decode_corpus_ids
+
+    ids = spark.createDataFrame(
+        [("repo_a", 0), ("repo_b", 1), ("repo_c", 2)], "orig string, vid long"
+    )
+    walks = spark.createDataFrame(
+        # walk_id 3 = vid 1 * wpv 2 + replica 1: joining it against ids
+        # would wrongly decode repo for vertex 3 (absent) — must stay 3
+        [(3, 1, 0, 1), (3, 1, 1, 2)],
+        "walk_id long, start long, step int, vid long",
+    )
+    got = {
+        (r["walk_id"], r["start"], r["step"], r["vid"])
+        for r in _decode_corpus_ids(walks, ids, "random_walks").collect()
+    }
+    assert got == {(3, "repo_b", 0, "repo_b"), (3, "repo_b", 1, "repo_c")}
+
+    blocks = spark.createDataFrame(
+        [(0, 1, 0, 2)], "root long, hop int, src long, dst long"
+    )
+    row = _decode_corpus_ids(blocks, ids, "neighborhood_sample").collect()[0]
+    assert (row["root"], row["hop"], row["src"], row["dst"]) == (
+        "repo_a", 1, "repo_a", "repo_c",
+    )
+
+    # default algorithms keep the legacy single-column repo decode
+    pr = spark.createDataFrame([(1, 0.5)], "vid long, rank double")
+    row = _decode_corpus_ids(pr, ids, "page_rank").collect()[0]
+    assert (row["repo"], row["rank"]) == ("repo_b", 0.5)
+
+
 # --------------------------------- stdlib PNG decoder (r5 missing #2)
 
 
